@@ -1,0 +1,186 @@
+"""Checkpointing: async orbax save/restore, auto-resume, partial load,
+freeze masks, and torch-checkpoint import.
+
+Covers the reference's `utils/checkpoints.py` surface, upgraded:
+  - `SaveModel`:90 -> `CheckpointManager.save` (orbax, async, retention of
+    best + every-epoch like demos/yolov3_huaweiShip/cfg/_fit.py:23-27);
+  - `LoadStatedict`:28 shape-filtered non-strict load -> `partial_load`;
+  - `LoadFromParrel`:59 module.-prefix strip -> handled in torch import;
+  - optimizer state IS restored on resume (the reference saved it but never
+    reloaded it — SURVEY.md §5);
+  - `SqueezeModel`:11 freeze-by-substring -> `trainable_mask` for optax;
+  - ultralytics/torch import (demos/yolov3_huaweiShip/train.py:93-101
+    head-dropping load) -> `load_torch_state` + layout converters
+    (OIHW -> HWIO).
+"""
+from __future__ import annotations
+
+import datetime
+import json
+import os
+from typing import Any, Callable
+
+import jax
+import numpy as np
+import orbax.checkpoint as ocp
+
+
+def flatten_params(tree: Any, sep: str = "/") -> dict[str, Any]:
+    flat = {}
+    for path, leaf in jax.tree_util.tree_flatten_with_path(tree)[0]:
+        name = sep.join(
+            str(getattr(p, "key", getattr(p, "idx", getattr(p, "name", p)))) for p in path
+        )
+        flat[name] = leaf
+    return flat
+
+
+def partial_load(target: Any, source_flat: dict[str, np.ndarray], verbose: bool = True) -> Any:
+    """Non-strict, shape-filtered parameter load (ref: utils/checkpoints.py:40-53).
+
+    Leaves of `target` whose flattened name exists in `source_flat` with a
+    matching shape are replaced; everything else keeps its initialization.
+    """
+    target_flat = flatten_params(target)
+    loaded, skipped = [], []
+    new_flat = {}
+    for name, leaf in target_flat.items():
+        src = source_flat.get(name)
+        if src is not None and tuple(np.shape(src)) == tuple(np.shape(leaf)):
+            new_flat[name] = np.asarray(src, dtype=np.asarray(leaf).dtype)
+            loaded.append(name)
+        else:
+            new_flat[name] = leaf
+            skipped.append(name)
+    if verbose:
+        print(f"[checkpoint] partial load: {len(loaded)} loaded, {len(skipped)} kept")
+    # rebuild tree in target structure
+    treedef = jax.tree_util.tree_structure(target)
+    names = list(target_flat.keys())
+    return jax.tree_util.tree_unflatten(treedef, [new_flat[n] for n in names])
+
+
+def trainable_mask(params: Any, freeze_substrings: list[str]) -> Any:
+    """Pytree of bools: False where the flattened name contains any frozen
+    substring (ref: SqueezeModel, utils/checkpoints.py:11-26). Feed to
+    optax.masked or multi_transform."""
+    flat = flatten_params(params)
+    mask_flat = {
+        name: not any(s in name for s in freeze_substrings) for name in flat
+    }
+    treedef = jax.tree_util.tree_structure(params)
+    return jax.tree_util.tree_unflatten(treedef, [mask_flat[n] for n in flat])
+
+
+class CheckpointManager:
+    """Orbax-backed run checkpoints: {params, opt_state, step, config, date}.
+
+    Directory layout: <dir>/<step>/... plus <dir>/best/ for the best metric.
+    """
+
+    def __init__(self, directory: str, max_to_keep: int | None = 5):
+        self.directory = os.path.abspath(directory)
+        os.makedirs(self.directory, exist_ok=True)
+        options = ocp.CheckpointManagerOptions(
+            max_to_keep=max_to_keep, create=True, enable_async_checkpointing=True
+        )
+        self._mgr = ocp.CheckpointManager(self.directory, options=options)
+        self._best_metric = None
+
+    def save(
+        self,
+        step: int,
+        params: Any,
+        opt_state: Any = None,
+        extra: dict | None = None,
+        metric: float | None = None,
+        higher_is_better: bool = True,
+    ) -> None:
+        state = {"params": params}
+        if opt_state is not None:
+            state["opt_state"] = opt_state
+        meta = dict(extra or {})
+        meta["date"] = datetime.datetime.now().isoformat()
+        meta["step"] = step
+        self._mgr.save(
+            step,
+            args=ocp.args.Composite(
+                state=ocp.args.StandardSave(state),
+                meta=ocp.args.JsonSave(meta),
+            ),
+        )
+        if metric is not None:
+            better = (
+                self._best_metric is None
+                or (metric > self._best_metric) == higher_is_better
+            )
+            if better:
+                self._best_metric = metric
+                with open(os.path.join(self.directory, "best.json"), "w") as f:
+                    json.dump({"step": step, "metric": float(metric)}, f)
+
+    def latest_step(self) -> int | None:
+        return self._mgr.latest_step()
+
+    def restore(self, step: int | None = None, like: Any = None) -> dict:
+        """Restore a checkpoint; `like` provides the pytree structure/sharding."""
+        step = step if step is not None else self.latest_step()
+        if step is None:
+            raise FileNotFoundError(f"no checkpoint under {self.directory}")
+        if like is not None:
+            restored = self._mgr.restore(
+                step,
+                args=ocp.args.Composite(
+                    state=ocp.args.StandardRestore(like),
+                    meta=ocp.args.JsonRestore(),
+                ),
+            )
+        else:
+            restored = self._mgr.restore(step)
+        return {"state": restored["state"], "meta": restored.get("meta", {})}
+
+    def wait(self):
+        self._mgr.wait_until_finished()
+
+    def close(self):
+        self._mgr.close()
+
+
+# ----------------------------------------------------------------------------
+# Torch checkpoint import (ultralytics / reference .pth files)
+# ----------------------------------------------------------------------------
+def load_torch_state(path: str, strip_module_prefix: bool = True) -> dict[str, np.ndarray]:
+    """Load a torch checkpoint into {name: np.ndarray}.
+
+    Handles the reference's formats: a bare state_dict, {'model': state_dict},
+    or {'model': nn.Module} (ultralytics), and strips the DataParallel
+    'module.' prefix (ref: LoadFromParrel, utils/checkpoints.py:79).
+    """
+    import torch  # local import: torch is host-side only
+
+    ckpt = torch.load(path, map_location="cpu", weights_only=False)
+    if isinstance(ckpt, dict) and "model" in ckpt:
+        ckpt = ckpt["model"]
+    if hasattr(ckpt, "state_dict"):
+        ckpt = ckpt.state_dict()
+    out = {}
+    for name, tensor in ckpt.items():
+        if strip_module_prefix and name.startswith("module."):
+            name = name[len("module."):]
+        out[name] = tensor.detach().float().cpu().numpy()
+    return out
+
+
+def conv_oihw_to_hwio(w: np.ndarray) -> np.ndarray:
+    """Torch conv weight (O, I, kH, kW) -> JAX/flax (kH, kW, I, O)."""
+    return np.transpose(w, (2, 3, 1, 0))
+
+
+def conv3d_oidhw_to_dhwio(w: np.ndarray) -> np.ndarray:
+    """Torch conv3d weight (O, I, D, H, W) -> (D, H, W, I, O)."""
+    return np.transpose(w, (2, 3, 4, 1, 0))
+
+
+def linear_oi_to_io(w: np.ndarray) -> np.ndarray:
+    """Torch linear weight (out, in) -> (in, out)."""
+    return np.transpose(w, (1, 0))

@@ -1,0 +1,147 @@
+"""Hierarchical config: dataclass tree <- YAML file <- CLI dotted overrides.
+
+Replaces the reference's two-level flag system (per-run argparse in every
+run.py, e.g. demos/faster_rcnn/run.py:12-54, plus YAML dataset descriptors
+datasets/data/*.yaml loaded at demos/yolov3_u/train.py:20) with one
+composable scheme. Unlike the reference, configs serialize into checkpoints
+(`to_dict`) so runs are reproducible.
+"""
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass, field, fields, is_dataclass
+from typing import Any, Sequence
+
+import yaml
+
+
+def _coerce(value: str, target_type: Any) -> Any:
+    """Parse a CLI string into the annotated type."""
+    if target_type in (int, "int"):
+        return int(value)
+    if target_type in (float, "float"):
+        return float(value)
+    if target_type in (bool, "bool"):
+        return value.lower() in ("1", "true", "yes", "on")
+    if isinstance(value, str) and value.startswith(("[", "{", "(")):
+        return yaml.safe_load(value)
+    return value
+
+
+def update_dataclass(obj: Any, updates: dict) -> Any:
+    """Return a copy of a (nested) dataclass with dict updates applied."""
+    kwargs = {}
+    names = {f.name: f for f in fields(obj)}
+    for key, val in updates.items():
+        if key not in names:
+            raise KeyError(f"{type(obj).__name__} has no field {key!r}")
+        cur = getattr(obj, key)
+        if is_dataclass(cur) and isinstance(val, dict):
+            kwargs[key] = update_dataclass(cur, val)
+        else:
+            kwargs[key] = val
+    return dataclasses.replace(obj, **kwargs)
+
+
+def apply_overrides(obj: Any, overrides: Sequence[str]) -> Any:
+    """Apply 'a.b.c=value' dotted CLI overrides to a dataclass tree."""
+    for item in overrides:
+        if "=" not in item:
+            raise ValueError(f"override {item!r} must be key=value")
+        path, raw = item.split("=", 1)
+        keys = path.lstrip("-").split(".")
+        # build a nested dict {a: {b: {c: coerced}}}
+        node: Any = obj
+        for k in keys[:-1]:
+            node = getattr(node, k)
+        f = {f.name: f for f in fields(node)}[keys[-1]]
+        nested: dict = {keys[-1]: _coerce(raw, f.type)}
+        for k in reversed(keys[:-1]):
+            nested = {k: nested}
+        obj = update_dataclass(obj, nested)
+    return obj
+
+
+def to_dict(obj: Any) -> Any:
+    if is_dataclass(obj):
+        return {f.name: to_dict(getattr(obj, f.name)) for f in fields(obj)}
+    if isinstance(obj, (list, tuple)):
+        return [to_dict(x) for x in obj]
+    return obj
+
+
+def from_yaml(cls, path: str, overrides: Sequence[str] = ()) -> Any:
+    """Load a dataclass config from YAML, then apply CLI overrides."""
+    with open(path) as f:
+        data = yaml.safe_load(f) or {}
+    obj = update_dataclass(cls(), data)
+    return apply_overrides(obj, overrides)
+
+
+# ----------------------------------------------------------------------------
+# Dataset descriptor: superset of the reference's datasets/data/*.yaml schema
+# (data_root, train/val/test dirs, num_classes, categories).
+# ----------------------------------------------------------------------------
+@dataclass
+class DataConfig:
+    data_root: str = ""
+    train_dir: str = "train"
+    val_dir: str = "val"
+    test_dir: str = "test"
+    num_classes: int = 80
+    categories: list = field(default_factory=list)
+    input_size: int = 416
+    batch_size: int = 32
+    max_boxes: int = 120  # fixed label padding (replaces dynamic collate)
+    num_workers: int = 4
+    cache: bool = False
+
+
+@dataclass
+class TrainConfig:
+    epochs: int = 100
+    lr: float = 1e-4
+    final_lr: float = 1e-6
+    optimizer: str = "sgd"  # 'sgd' | 'adam'
+    momentum: float = 0.937
+    weight_decay: float = 5e-4
+    nesterov: bool = True
+    scheduler: str = "warmup_cosine"  # see train/schedulers.py
+    warmup_epochs: int = 3
+    grad_clip_norm: float = 0.0  # 0 disables
+    no_aug_epochs: int = 0  # huaweiShip-style final clean-data epochs
+    seed: int = 0
+    bf16: bool = True
+    start_epoch: int = 0
+    ckpt_dir: str = "./checkpoints"
+    save_every_epoch: bool = True
+    eval_every: int = 1  # epochs between val mAP runs
+
+
+@dataclass
+class ModelConfig:
+    name: str = "yolov3"
+    backbone: str = "darknet53"
+    num_classes: int = 80
+    pretrained: str = ""  # checkpoint path (ours or torch)
+    freeze: list = field(default_factory=list)  # param-name substrings
+
+
+@dataclass
+class NMSConfig:
+    conf_thres: float = 0.25
+    iou_thres: float = 0.45
+    max_det: int = 300
+    pre_nms_top_k: int = 1024
+    multi_label: bool = False
+
+
+@dataclass
+class Config:
+    data: DataConfig = field(default_factory=DataConfig)
+    train: TrainConfig = field(default_factory=TrainConfig)
+    model: ModelConfig = field(default_factory=ModelConfig)
+    nms: NMSConfig = field(default_factory=NMSConfig)
+    mesh_data: int = 0  # 0 = all devices on the data axis
+    mesh_model: int = 1
+    mesh_time: int = 1

@@ -1,0 +1,172 @@
+"""Fixed-size, static-shape NMS for TPU.
+
+The reference outsources NMS to `torchvision.ops.nms` (dynamic shapes,
+C++/CUDA — detection/tools/NMS.py:18, demos/yolov3_u/utils/nms.py:47).
+XLA requires static shapes, so this module re-designs NMS as:
+
+  1. confidence mask -> masked scores (invalid candidates score -inf),
+  2. `lax.top_k` to a fixed pre-NMS candidate count K,
+  3. class-aware suppression via the class-offset trick (each class lives in
+     a disjoint coordinate region — same trick as demos/yolov3_u/utils/nms.py:44),
+  4. greedy suppression over the K x K IoU matrix with a `lax.fori_loop`
+     (exact, score-ordered — identical keep-set to torchvision NMS),
+  5. fixed `max_det` outputs + validity mask.
+
+Everything is jit-able and vmap-able; the batched entry point vmaps over
+images. A Pallas kernel variant lives in `nms_pallas.py` for the hot path.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from .box import xywh2xyxy
+from .iou import box_iou_matrix
+
+# Coordinate offset separating classes during suppression; matches the demo's
+# constant (demos/yolov3_u/utils/nms.py:44) — larger than any input size.
+CLASS_OFFSET = 4096.0
+
+
+class Detections(NamedTuple):
+    """Fixed-size NMS output. Padded entries have valid == False."""
+
+    boxes: jnp.ndarray  # [max_det, 4] xyxy
+    scores: jnp.ndarray  # [max_det]
+    classes: jnp.ndarray  # [max_det] int32
+    valid: jnp.ndarray  # [max_det] bool
+
+
+def suppression_mask(boxes: jnp.ndarray, scores: jnp.ndarray, iou_thres: float) -> jnp.ndarray:
+    """Greedy NMS keep-mask over score-sorted boxes.
+
+    Args:
+      boxes: [K, 4] xyxy, already sorted by descending score.
+      scores: [K] (entries <= -inf/masked are never kept).
+    Returns: bool [K] keep mask — exact torchvision-NMS semantics.
+    """
+    k = boxes.shape[0]
+    iou = box_iou_matrix(boxes, boxes)  # [K, K]
+    # overlap[i, j]: candidate j would be suppressed by i if i is kept.
+    overlap = iou > iou_thres
+    # only earlier (higher-score) boxes can suppress later ones
+    tri = jnp.tril(jnp.ones((k, k), dtype=bool), k=-1)  # [i, j]: j < i ... careful below
+    del tri
+
+    def body(i, state):
+        keep, suppressed = state
+        keep_i = jnp.logical_not(suppressed[i]) & (scores[i] > -jnp.inf)
+        keep = keep.at[i].set(keep_i)
+        # if kept, suppress all later boxes overlapping i
+        later = jnp.arange(k) > i
+        suppressed = jnp.where(keep_i & later & overlap[i], True, suppressed)
+        return keep, suppressed
+
+    keep, _ = jax.lax.fori_loop(
+        0, k, body, (jnp.zeros((k,), bool), jnp.zeros((k,), bool))
+    )
+    return keep
+
+
+def nms(
+    boxes: jnp.ndarray,
+    scores: jnp.ndarray,
+    iou_thres: float = 0.45,
+    max_out: int | None = None,
+) -> jnp.ndarray:
+    """Class-agnostic NMS. Returns a keep mask aligned with the inputs.
+
+    Unlike torchvision's index-list API this returns a fixed-shape boolean
+    mask; use `jnp.nonzero` outside jit or top_k to extract.
+    """
+    order = jnp.argsort(-scores)
+    keep_sorted = suppression_mask(boxes[order], scores[order], iou_thres)
+    keep = jnp.zeros_like(keep_sorted).at[order].set(keep_sorted)
+    if max_out is not None and max_out < boxes.shape[0]:
+        # keep only the max_out highest-scoring survivors
+        surv_scores = jnp.where(keep, scores, -jnp.inf)
+        thresh = jax.lax.top_k(surv_scores, max_out)[0][-1]
+        keep = keep & (surv_scores >= thresh)
+    return keep
+
+
+def non_max_suppression(
+    prediction: jnp.ndarray,
+    conf_thres: float = 0.25,
+    iou_thres: float = 0.45,
+    max_det: int = 300,
+    pre_nms_top_k: int = 1024,
+    class_agnostic: bool = False,
+    box_format: str = "xywh",
+) -> Detections:
+    """Single-image detection NMS over raw predictions [N, 5 + C].
+
+    Layout per row: (box[4], objectness, class scores[C]) — the reference's
+    contract (detection/tools/NMS.py:5). Steps mirror the reference:
+    objectness filter, score = obj * cls, class argmax, NMS, top-max_det —
+    but with fixed shapes end-to-end.
+    """
+    if prediction.ndim != 2:
+        raise ValueError(
+            f"non_max_suppression expects [N, 5+C] for one image, got shape "
+            f"{prediction.shape}; use batched_non_max_suppression for batches"
+        )
+    num_classes = prediction.shape[-1] - 5
+    obj = prediction[:, 4]
+    cls_scores = prediction[:, 5:] * obj[:, None]
+    scores_all = jnp.max(cls_scores, axis=-1)
+    classes_all = jnp.argmax(cls_scores, axis=-1).astype(jnp.int32)
+    valid = obj > conf_thres
+
+    masked_scores = jnp.where(valid, scores_all, -jnp.inf)
+    k = min(pre_nms_top_k, prediction.shape[0])
+    top_scores, top_idx = jax.lax.top_k(masked_scores, k)
+    boxes = prediction[top_idx, :4]
+    if box_format == "xywh":
+        boxes = xywh2xyxy(boxes)
+    top_classes = classes_all[top_idx]
+
+    if class_agnostic or num_classes == 1:
+        nms_boxes = boxes
+    else:
+        nms_boxes = boxes + (top_classes.astype(boxes.dtype) * CLASS_OFFSET)[:, None]
+
+    keep = suppression_mask(nms_boxes, top_scores, iou_thres)
+    final_scores = jnp.where(keep, top_scores, -jnp.inf)
+    out_scores, out_idx = jax.lax.top_k(final_scores, min(max_det, k))
+    out_valid = out_scores > -jnp.inf
+    out_scores = jnp.where(out_valid, out_scores, 0.0)
+    return Detections(
+        boxes=jnp.where(out_valid[:, None], boxes[out_idx], 0.0),
+        scores=out_scores,
+        classes=jnp.where(out_valid, top_classes[out_idx], -1),
+        valid=out_valid,
+    )
+
+
+def batched_non_max_suppression(
+    prediction: jnp.ndarray,
+    conf_thres: float = 0.25,
+    iou_thres: float = 0.45,
+    max_det: int = 300,
+    pre_nms_top_k: int = 1024,
+    class_agnostic: bool = False,
+    box_format: str = "xywh",
+) -> Detections:
+    """Batch NMS: [B, N, 5 + C] -> Detections with leading batch dim.
+
+    Replaces the reference's per-image Python loop
+    (demos/yolov3_u/utils/nms.py:55 batch variant) with vmap.
+    """
+    fn = lambda p: non_max_suppression(
+        p,
+        conf_thres=conf_thres,
+        iou_thres=iou_thres,
+        max_det=max_det,
+        pre_nms_top_k=pre_nms_top_k,
+        class_agnostic=class_agnostic,
+        box_format=box_format,
+    )
+    return jax.vmap(fn)(prediction)
