@@ -1,0 +1,129 @@
+"""NN building blocks: conv/norm/activation stacks, TPU-first.
+
+Design choices (vs the reference's torch modules):
+  - NHWC layout everywhere (TPU conv layout; torch is NCHW);
+  - bf16 compute via the `dtype` arg, fp32 params and BN statistics
+    (reference's "mixed precision" was a dead half().float() round-trip,
+    generate/template-yolov3/train.py:98 — here it's a real policy);
+  - BatchNorm can reduce batch statistics over the mesh 'data' axis
+    (`bn_axis_name`) = SyncBatchNorm (ref gates nn.SyncBatchNorm on a never
+    -true DDP flag, generate/template-yolov3/train.py:85-87; SURVEY.md §2.5);
+  - kaiming-normal conv init, BN scale=1 shift=0 (ref utils/initial_weights.py:4).
+
+SiLU fallback (ref layers/activations.py:5) is irrelevant — jax.nn.silu.
+"""
+from __future__ import annotations
+
+from typing import Any, Callable, Sequence
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+# kaiming-normal (he) init, matching utils/initial_weights.py:4 semantics
+conv_kernel_init = nn.initializers.variance_scaling(2.0, "fan_out", "normal")
+
+ACTIVATIONS: dict[str, Callable] = {
+    "silu": nn.silu,
+    "relu": nn.relu,
+    "leaky_relu": lambda x: nn.leaky_relu(x, negative_slope=0.1),
+    "none": lambda x: x,
+}
+
+
+class ConvBN(nn.Module):
+    """Conv2D + BatchNorm + activation — the detector's basic block.
+
+    Equivalent role to the reference's CBL/CBS blocks
+    (demos/yolov3_u/models/yolov3.py conv+bn+leaky stacks,
+    detection/neck/yolov3neck.py:23-40).
+    """
+
+    features: int
+    kernel_size: int = 3
+    strides: int = 1
+    groups: int = 1
+    use_bn: bool = True
+    use_bias: bool | None = None  # default: bias only when no BN
+    act: str = "silu"
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        bias = self.use_bias if self.use_bias is not None else not self.use_bn
+        x = nn.Conv(
+            self.features,
+            (self.kernel_size, self.kernel_size),
+            strides=(self.strides, self.strides),
+            padding="SAME",
+            feature_group_count=self.groups,
+            use_bias=bias,
+            kernel_init=conv_kernel_init,
+            dtype=self.dtype,
+            name="conv",
+        )(x)
+        if self.use_bn:
+            x = BatchNorm(dtype=self.dtype, name="bn")(x, train=train)
+        return ACTIVATIONS[self.act](x)
+
+
+class BatchNorm(nn.Module):
+    """BatchNorm with optional cross-replica (Sync) statistics.
+
+    When `axis_name` is set and the module runs inside pjit/shard_map over
+    that mesh axis, batch statistics are averaged across replicas via pmean
+    — the TPU-native SyncBatchNorm (SURVEY.md §2.5). Stats stay fp32.
+    """
+
+    momentum: float = 0.9  # torch default 0.1 "new-fraction" == flax 0.9
+    epsilon: float = 1e-5
+    axis_name: str | None = None
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        return nn.BatchNorm(
+            use_running_average=not train,
+            momentum=self.momentum,
+            epsilon=self.epsilon,
+            axis_name=self.axis_name if train else None,
+            dtype=self.dtype,
+            name="bn",
+        )(x)
+
+
+class Dense(nn.Module):
+    features: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        return nn.Dense(
+            self.features,
+            kernel_init=nn.initializers.variance_scaling(2.0, "fan_in", "normal"),
+            dtype=self.dtype,
+            name="dense",
+        )(x)
+
+
+def max_pool(x, window: int = 2, stride: int = 2, padding: str = "VALID"):
+    return nn.max_pool(x, (window, window), (stride, stride), padding)
+
+
+def global_avg_pool(x):
+    """NHWC -> NC."""
+    return jnp.mean(x, axis=(1, 2))
+
+
+def adaptive_avg_pool(x, out_hw: Sequence[int]):
+    """NHWC adaptive average pool to (out_h, out_w) — VGG head needs 7x7
+    (classfication/models/vgg.py:27). Requires H, W divisible or uses
+    resize-style mean pooling via reshape when divisible, else window pool."""
+    n, h, w, c = x.shape
+    oh, ow = out_hw
+    if h % oh == 0 and w % ow == 0:
+        x = x.reshape(n, oh, h // oh, ow, w // ow, c)
+        return x.mean(axis=(2, 4))
+    # fallback: strided window pooling (approximate adaptive pool)
+    kh, kw = -(-h // oh), -(-w // ow)
+    sh, sw = max(h // oh, 1), max(w // ow, 1)
+    return nn.avg_pool(x, (kh, kw), (sh, sw), "VALID")[:, :oh, :ow, :]

@@ -1,0 +1,23 @@
+"""Training: losses, optimizers, schedulers, jitted steps, Fit harness."""
+from .losses import (
+    YOLOv3Loss,
+    YOLOv3LossPerCell,
+    YoloLossOutput,
+    binary_cross_entropy,
+    cross_entropy,
+    focal_loss,
+    iou_loss,
+    smooth_l1,
+)
+from .optim import build_optimizer, decay_mask, get_lr, set_lr
+from .schedulers import (
+    SCHEDULES,
+    PlateauScheduler,
+    constant_lr,
+    cosine_lr,
+    exponential_lr,
+    linear_lr,
+    step_decay_lr,
+    warmup_cosine_lr,
+)
+from .steps import TrainState, make_eval_step, make_train_step

@@ -1,0 +1,169 @@
+"""Loss tests: hand values for CE/BCE/focal/IoU-loss, YOLO loss behavior."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from fastvision_tpu.train import (
+    YOLOv3Loss,
+    YOLOv3LossPerCell,
+    binary_cross_entropy,
+    cross_entropy,
+    focal_loss,
+    iou_loss,
+    smooth_l1,
+)
+
+
+def test_cross_entropy_hand_value():
+    logits = jnp.array([[2.0, 0.0], [0.0, 2.0]])
+    labels = jnp.array([0, 1])
+    # -log(softmax) = log(1 + e^-2)
+    want = float(np.log(1 + np.exp(-2.0)))
+    got = float(cross_entropy(logits, labels))
+    np.testing.assert_allclose(got, want, rtol=1e-5)
+
+
+def test_cross_entropy_weights():
+    logits = jnp.array([[2.0, 0.0], [0.0, 2.0]])
+    labels = jnp.array([0, 1])
+    w = jnp.array([1.0, 0.0])
+    got = float(cross_entropy(logits, labels, weights=w))
+    want = float(np.log(1 + np.exp(-2.0)))  # only first sample, weighted mean
+    np.testing.assert_allclose(got, want, rtol=1e-5)
+
+
+def test_bce_logits_vs_probs_agree():
+    logits = jnp.array([0.5, -1.0, 2.0])
+    targets = jnp.array([1.0, 0.0, 1.0])
+    a = float(binary_cross_entropy(logits, targets, from_logits=True))
+    b = float(binary_cross_entropy(jax.nn.sigmoid(logits), targets, from_logits=False))
+    np.testing.assert_allclose(a, b, rtol=1e-4)
+
+
+def test_focal_reduces_easy_examples():
+    easy = jnp.array([[5.0, -5.0]])  # confident correct
+    hard = jnp.array([[0.0, 0.0]])
+    labels = jnp.array([0])
+    assert float(focal_loss(easy, labels)) < float(focal_loss(hard, labels))
+
+
+def test_iou_loss_zero_for_identical():
+    b = jnp.array([[0.0, 0.0, 10.0, 10.0]])
+    assert abs(float(iou_loss(b, b, kind="ciou"))) < 1e-5
+    assert float(iou_loss(b, b + 100, kind="giou")) > 1.0
+
+
+def test_smooth_l1():
+    np.testing.assert_allclose(
+        float(smooth_l1(jnp.array([0.5]), jnp.array([0.0]))), 0.125, rtol=1e-6
+    )
+    np.testing.assert_allclose(
+        float(smooth_l1(jnp.array([2.0]), jnp.array([0.0]))), 1.5, rtol=1e-6
+    )
+
+
+# ---------------------------------------------------------------------------
+# YOLO losses
+# ---------------------------------------------------------------------------
+ANCHORS = jnp.asarray(
+    [[[116, 90], [156, 198], [373, 326]],
+     [[30, 61], [62, 45], [59, 119]],
+     [[10, 13], [16, 30], [33, 23]]],
+    jnp.float32,
+)
+
+
+def make_heads(b=2, base=2, c=20, rng=None, scale=0.01):
+    shapes = [(b, base, base, 3, 5 + c), (b, base * 2, base * 2, 3, 5 + c),
+              (b, base * 4, base * 4, 3, 5 + c)]
+    if rng is None:
+        return [jnp.zeros(s) for s in shapes]
+    return [jnp.asarray(rng.normal(0, scale, s), jnp.float32) for s in shapes]
+
+
+def make_labels(b=2, m=8):
+    """one real box per image, rest padded."""
+    labels = np.full((b, m, 5), -1, np.float32)
+    labels[:, 0] = [1, 0.5, 0.5, 0.3, 0.4]  # class 1 centered box
+    return jnp.asarray(labels)
+
+
+@pytest.mark.parametrize("loss_cls", [YOLOv3Loss, YOLOv3LossPerCell])
+def test_yolo_loss_finite_and_positive(loss_cls, rng):
+    loss = loss_cls(ANCHORS, num_classes=20)
+    out = loss(make_heads(rng=rng), make_labels())
+    assert np.isfinite(float(out.total))
+    assert float(out.total) > 0
+    for part in (out.box, out.obj, out.cls):
+        assert np.isfinite(float(part)) and float(part) >= 0
+
+
+def test_yolo_loss_all_padding_no_nan():
+    loss = YOLOv3Loss(ANCHORS, num_classes=20)
+    labels = jnp.full((2, 8, 5), -1.0)  # no real boxes at all
+    out = loss(make_heads(), labels)
+    assert np.isfinite(float(out.total))
+    assert float(out.box) == 0.0  # no positives -> no box loss
+    assert float(out.cls) == 0.0
+
+
+def test_yolo_loss_grad_flows(rng):
+    loss = YOLOv3Loss(ANCHORS, num_classes=20, decode_style="v5")
+    heads = make_heads(rng=rng)
+    labels = make_labels()
+
+    def f(hs):
+        return loss(hs, labels).total
+
+    grads = jax.grad(f)(heads)
+    total = sum(float(jnp.abs(g).sum()) for g in grads)
+    assert np.isfinite(total) and total > 0
+
+
+def test_yolo_loss_jits(rng):
+    loss = YOLOv3Loss(ANCHORS, num_classes=20)
+    fn = jax.jit(lambda hs, lb: loss(hs, lb).total)
+    v = fn(make_heads(rng=rng), make_labels())
+    assert np.isfinite(float(v))
+
+
+def test_yolo_loss_better_prediction_lower_loss():
+    """A head predicting the GT box at the right cell scores lower than one
+    predicting elsewhere."""
+    c = 20
+    loss = YOLOv3Loss(ANCHORS, num_classes=c, decode_style="v5", ratio_thres=4.0)
+    labels = make_labels(b=1)
+
+    heads_good = [np.zeros((1, s, s, 3, 5 + c), np.float32) for s in (2, 4, 8)]
+    heads_bad = [h.copy() for h in heads_good]
+    # make the 'good' head confident about the right class at all cells of
+    # the matching level; the 'bad' head confident about a wrong class
+    for h in heads_good:
+        h[..., 4] = -4.0
+        h[..., 5 + 1] = 4.0  # class 1 (GT)
+        h[..., 5 + 0] = -4.0
+    for h in heads_bad:
+        h[..., 4] = -4.0
+        h[..., 5 + 1] = -4.0
+        h[..., 5 + 0] = 4.0  # wrong class
+    lg = float(loss([jnp.asarray(h) for h in heads_good], labels).cls)
+    lb = float(loss([jnp.asarray(h) for h in heads_bad], labels).cls)
+    assert lg < lb
+
+
+def test_yolo_percell_ignore_mask_reduces_obj_loss(rng):
+    """Confident predictions overlapping GT should be ignored as negatives."""
+    c = 5
+    loss = YOLOv3LossPerCell(ANCHORS, num_classes=c, ignore_iou_thres=0.5)
+    labels = make_labels(b=1, m=4)
+    # heads where many cells predict boxes ~ at the GT location
+    heads = make_heads(b=1, c=c)
+    out = loss(heads, labels)
+    assert np.isfinite(float(out.total))
+
+
+def test_yolo_loss_v3_decode_style(rng):
+    loss = YOLOv3Loss(ANCHORS, num_classes=20, decode_style="v3")
+    out = loss(make_heads(rng=rng), make_labels())
+    assert np.isfinite(float(out.total))

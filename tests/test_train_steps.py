@@ -1,0 +1,140 @@
+"""Train-step tests: loss decreases, lr injection, decay mask, sharded step."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from fastvision_tpu.core import create_mesh, replicate, shard_batch
+from fastvision_tpu.models.classification import resnet18
+from fastvision_tpu.train import (
+    TrainState,
+    build_optimizer,
+    cross_entropy,
+    decay_mask,
+    get_lr,
+    make_eval_step,
+    make_train_step,
+    set_lr,
+)
+
+
+def small_classifier_setup(num_classes=4, optimizer="sgd"):
+    model = resnet18(num_classes=num_classes)
+    x = jnp.zeros((8, 32, 32, 3))
+    variables = model.init(jax.random.key(0), x, train=True)
+    tx = build_optimizer(optimizer, variables["params"], weight_decay=1e-4)
+
+    def loss_fn(logits, batch):
+        loss = cross_entropy(logits, batch["labels"])
+        acc = jnp.mean(jnp.argmax(logits, -1) == batch["labels"])
+        return loss, {"acc": acc}
+
+    step = make_train_step(model.apply, loss_fn, tx, donate=False)
+    state = TrainState.create(variables, tx)
+    return model, state, step
+
+
+def test_decay_mask_excludes_bias_and_bn():
+    params = {
+        "conv": {"kernel": jnp.zeros((3, 3, 4, 8)), "bias": jnp.zeros(8)},
+        "bn": {"scale": jnp.zeros(8), "bias": jnp.zeros(8)},
+        "fc": {"kernel": jnp.zeros((16, 4))},
+    }
+    mask = decay_mask(params)
+    assert mask["conv"]["kernel"] and mask["fc"]["kernel"]
+    assert not mask["conv"]["bias"] and not mask["bn"]["scale"]
+
+
+def test_set_get_lr():
+    params = {"w": jnp.zeros(3)}
+    tx = build_optimizer("adam", params)
+    st = tx.init(params)
+    st = set_lr(st, 0.123)
+    np.testing.assert_allclose(get_lr(st), 0.123, rtol=1e-6)
+
+
+def test_train_step_reduces_loss(rng):
+    model, state, step = small_classifier_setup(optimizer="adam")
+    x = jnp.asarray(rng.normal(0, 1, (8, 32, 32, 3)), jnp.float32)
+    y = jnp.asarray(rng.integers(0, 4, 8), jnp.int32)
+    batch = {"images": x, "labels": y}
+    losses = []
+    for i in range(8):
+        state, metrics = step(state, batch, 1e-3)
+        losses.append(float(metrics["loss"]))
+    assert losses[-1] < losses[0], losses
+    assert int(state.step) == 8
+
+
+def test_train_step_updates_batch_stats(rng):
+    model, state, step = small_classifier_setup()
+    x = jnp.asarray(rng.normal(3.0, 1.0, (8, 32, 32, 3)), jnp.float32)
+    batch = {"images": x, "labels": jnp.zeros(8, jnp.int32)}
+    before = np.asarray(jax.tree.leaves(state.batch_stats)[0]).copy()
+    state, _ = step(state, batch, 0.01)
+    after = np.asarray(jax.tree.leaves(state.batch_stats)[0])
+    assert not np.allclose(before, after)
+
+
+def test_zero_lr_freezes_params(rng):
+    model, state, step = small_classifier_setup()
+    x = jnp.asarray(rng.normal(0, 1, (8, 32, 32, 3)), jnp.float32)
+    batch = {"images": x, "labels": jnp.zeros(8, jnp.int32)}
+    p_before = jax.tree.leaves(state.params)[0]
+    state, _ = step(state, batch, 0.0)
+    p_after = jax.tree.leaves(state.params)[0]
+    np.testing.assert_allclose(np.asarray(p_before), np.asarray(p_after))
+
+
+def test_eval_step_deterministic(rng):
+    model, state, _ = small_classifier_setup()
+    ev = make_eval_step(model.apply)
+    x = jnp.asarray(rng.normal(0, 1, (4, 32, 32, 3)), jnp.float32)
+    a = np.asarray(ev(state, {"images": x}))
+    b = np.asarray(ev(state, {"images": x}))
+    np.testing.assert_array_equal(a, b)
+
+
+def test_sharded_train_step_matches_single_device(mesh, rng):
+    """Data-parallel step over the 8-device mesh == single-device step."""
+    model, state, step = small_classifier_setup()
+    x = jnp.asarray(rng.normal(0, 1, (8, 32, 32, 3)), jnp.float32)
+    y = jnp.asarray(rng.integers(0, 4, 8), jnp.int32)
+
+    # single device
+    s1, m1 = step(state, {"images": x, "labels": y}, 0.05)
+
+    # sharded over mesh: batch split over 'data', state replicated
+    state_r = jax.tree.map(lambda a: a, state)  # fresh copy
+    state_r = TrainState(
+        replicate(state_r.params, mesh),
+        replicate(state_r.batch_stats, mesh),
+        replicate(state_r.opt_state, mesh),
+        state_r.step,
+    )
+    batch_s = shard_batch({"images": np.asarray(x), "labels": np.asarray(y)}, mesh)
+    s8, m8 = step(state_r, batch_s, 0.05)
+
+    np.testing.assert_allclose(float(m1["loss"]), float(m8["loss"]), rtol=1e-4)
+    p1 = np.asarray(jax.tree.leaves(s1.params)[0])
+    p8 = np.asarray(jax.tree.leaves(s8.params)[0])
+    np.testing.assert_allclose(p1, p8, rtol=1e-3, atol=1e-5)
+
+
+def test_grad_clip_bounds_grad_norm(rng):
+    model = resnet18(num_classes=4)
+    x = jnp.asarray(rng.normal(0, 10, (4, 32, 32, 3)), jnp.float32)
+    variables = model.init(jax.random.key(0), x, train=True)
+    tx = build_optimizer("sgd", variables["params"], grad_clip_norm=1.0)
+
+    def loss_fn(logits, batch):
+        return 1000.0 * cross_entropy(logits, batch["labels"]), {}
+
+    step = make_train_step(model.apply, loss_fn, tx, donate=False)
+    state = TrainState.create(variables, tx)
+    p_before = jax.tree.leaves(state.params)[0]
+    state, m = step(state, {"images": x, "labels": jnp.zeros(4, jnp.int32)}, 1.0)
+    # update magnitude bounded by clip * lr
+    p_after = jax.tree.leaves(state.params)[0]
+    delta = float(jnp.max(jnp.abs(p_after - p_before)))
+    assert delta <= 1.0 + 1e-3
