@@ -1,0 +1,43 @@
+"""Data layer: datasets, augmentations, mosaic, converters, video, pipeline."""
+from .augment import (
+    IMAGENET_MEAN,
+    IMAGENET_STD,
+    Augmentation,
+    BGR2RGB,
+    Blur,
+    CenterCrop,
+    ChannelShuffle,
+    HistEqualize,
+    HorizontalFlip,
+    HSVJitter,
+    Jitter,
+    Normalization,
+    Padding,
+    RandomCrop,
+    Resize,
+    ResizeByMax,
+    VerticalFlip,
+)
+from .converters import VOC_CLASSES, coco_90_to_80_map, coco_to_fastvision, voc_to_fastvision
+from .dataset import (
+    ClassificationDataset,
+    DetectionDataset,
+    boxes_to_normalized_xywh,
+    imread_rgb,
+    letterbox,
+    pad_labels,
+    read_label_file,
+)
+from .mosaic import mosaic4
+from .pipeline import (
+    ClassificationLoader,
+    DetectionLoader,
+    normalize_images,
+    prefetch_to_device,
+)
+from .video_sampler import (
+    count_real_frames,
+    load_clip,
+    sample_clip_from_array,
+    sample_indices,
+)

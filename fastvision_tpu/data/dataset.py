@@ -1,0 +1,170 @@
+"""Datasets over the fastvision on-disk format.
+
+The data contract (ref datasets/detection_dataloader.py:105-118 + the
+converters): `<root>/{train,val,test}/images/<id>.jpg` + `labels/<id>.txt`,
+each label line `category_idx xmin ymin xmax ymax` in original pixel
+coordinates, classes 0-based.
+
+TPU-first redesign vs the reference loader (detection_dataloader.py):
+  - sample scan cached as JSON, not `eval()`-ed text (:122-127 security fix);
+  - letterbox returns (image, scale, pad) so eval can map boxes back;
+  - output batches are FIXED SHAPE: labels padded to `max_boxes` rows of
+    (class, cx, cy, w, h) normalized, class == -1 padding — replaces the
+    dynamic batch-idx-stamped collate (:98);
+  - images stay uint8 on host; normalize runs on device (BASELINE.json
+    north star: fuse normalize into the XLA program).
+"""
+from __future__ import annotations
+
+import json
+import os
+from typing import Sequence
+
+import numpy as np
+
+IMG_EXTS = (".jpg", ".jpeg", ".png", ".bmp")
+
+
+def imread_rgb(path: str) -> np.ndarray:
+    """Host-side JPEG/PNG decode -> RGB uint8 HWC."""
+    import cv2
+
+    img = cv2.imread(path, cv2.IMREAD_COLOR)
+    if img is None:
+        raise FileNotFoundError(f"cannot decode image: {path}")
+    return cv2.cvtColor(img, cv2.COLOR_BGR2RGB)
+
+
+def read_label_file(path: str) -> np.ndarray:
+    """labels/<id>.txt -> [N, 5] float32 (cls, x1, y1, x2, y2) pixels."""
+    if not os.path.exists(path):
+        return np.zeros((0, 5), np.float32)
+    rows = []
+    with open(path) as f:
+        for line in f:
+            parts = line.split()
+            if len(parts) >= 5:
+                rows.append([float(v) for v in parts[:5]])
+    return np.asarray(rows, np.float32).reshape(-1, 5)
+
+
+def letterbox(
+    image: np.ndarray,
+    size: int,
+    pad_value: int = 114,
+    position: str = "center",
+) -> tuple[np.ndarray, float, tuple[int, int]]:
+    """Aspect-preserving resize + pad to (size, size).
+
+    Ref: detection_dataloader.py:43-79 load_image + common/padding.py:3.
+    Returns (image, scale, (pad_left, pad_top)) — enough to invert the
+    transform for eval (demos/yolov3_u/inference.py:92-109 unpad/unscale).
+    """
+    import cv2
+
+    h, w = image.shape[:2]
+    scale = size / max(h, w)
+    nh, nw = round(h * scale), round(w * scale)
+    if (nh, nw) != (h, w):
+        image = cv2.resize(image, (nw, nh), interpolation=cv2.INTER_LINEAR)
+    if position == "center":
+        top = (size - nh) // 2
+        left = (size - nw) // 2
+    else:  # 'lefttop'
+        top, left = 0, 0
+    out = np.full((size, size, image.shape[2]), pad_value, image.dtype)
+    out[top : top + nh, left : left + nw] = image
+    return out, scale, (left, top)
+
+
+def boxes_to_normalized_xywh(boxes_xyxy: np.ndarray, height: int, width: int) -> np.ndarray:
+    """Pixel xyxy -> normalized xywh (the label tensor format)."""
+    out = np.empty_like(boxes_xyxy)
+    out[:, 0] = (boxes_xyxy[:, 0] + boxes_xyxy[:, 2]) / 2 / width
+    out[:, 1] = (boxes_xyxy[:, 1] + boxes_xyxy[:, 3]) / 2 / height
+    out[:, 2] = (boxes_xyxy[:, 2] - boxes_xyxy[:, 0]) / width
+    out[:, 3] = (boxes_xyxy[:, 3] - boxes_xyxy[:, 1]) / height
+    return out
+
+
+def pad_labels(cls: np.ndarray, xywhn: np.ndarray, max_boxes: int) -> np.ndarray:
+    """-> [max_boxes, 5] (class, cx, cy, w, h), class == -1 padding."""
+    out = np.full((max_boxes, 5), -1, np.float32)
+    n = min(len(cls), max_boxes)
+    if n:
+        out[:n, 0] = cls[:n]
+        out[:n, 1:5] = xywhn[:n]
+    return out
+
+
+class DetectionDataset:
+    """Detection samples: (rgb uint8 image, [N,5] pixel-xyxy labels, id).
+
+    Ref: BaseDataset, datasets/detection_dataloader.py:157. Scan results are
+    cached to `<split_dir>/.samples.json` when `cache=True`.
+    """
+
+    def __init__(self, root: str, split: str = "train", cache: bool = False):
+        self.dir = os.path.join(root, split)
+        self.images_dir = os.path.join(self.dir, "images")
+        self.labels_dir = os.path.join(self.dir, "labels")
+        self.ids = self._scan(cache)
+
+    def _scan(self, cache: bool) -> list[str]:
+        cache_path = os.path.join(self.dir, ".samples.json")
+        if cache and os.path.exists(cache_path):
+            with open(cache_path) as f:
+                return json.load(f)
+        ids = sorted(
+            os.path.splitext(name)[0]
+            for name in os.listdir(self.images_dir)
+            if name.lower().endswith(IMG_EXTS)
+        )
+        if cache:
+            with open(cache_path, "w") as f:
+                json.dump(ids, f)
+        return ids
+
+    def __len__(self) -> int:
+        return len(self.ids)
+
+    def image_path(self, idx: int) -> str:
+        base = os.path.join(self.images_dir, self.ids[idx])
+        for ext in IMG_EXTS:
+            if os.path.exists(base + ext):
+                return base + ext
+        raise FileNotFoundError(base)
+
+    def __getitem__(self, idx: int):
+        image = imread_rgb(self.image_path(idx))
+        labels = read_label_file(os.path.join(self.labels_dir, self.ids[idx] + ".txt"))
+        return image, labels, self.ids[idx]
+
+
+class ClassificationDataset:
+    """Folder-per-class layout: `<root>/<split>/<class_name>/<img>`.
+
+    Class indices follow sorted folder names (or an explicit `categories`
+    list from the dataset YAML descriptor, datasets/data/*.yaml)."""
+
+    def __init__(self, root: str, split: str = "train", categories: Sequence[str] | None = None):
+        self.dir = os.path.join(root, split)
+        names = categories or sorted(
+            d for d in os.listdir(self.dir) if os.path.isdir(os.path.join(self.dir, d))
+        )
+        self.class_names = list(names)
+        self.samples: list[tuple[str, int]] = []
+        for ci, name in enumerate(self.class_names):
+            cdir = os.path.join(self.dir, name)
+            if not os.path.isdir(cdir):
+                continue
+            for fname in sorted(os.listdir(cdir)):
+                if fname.lower().endswith(IMG_EXTS):
+                    self.samples.append((os.path.join(cdir, fname), ci))
+
+    def __len__(self) -> int:
+        return len(self.samples)
+
+    def __getitem__(self, idx: int):
+        path, label = self.samples[idx]
+        return imread_rgb(path), label

@@ -1,0 +1,218 @@
+"""Input pipeline: host decode/augment -> fixed-shape batches -> device.
+
+Replaces the reference's torch DataLoader worker pool + dynamic collate
+(datasets/detection_dataloader.py:98,163-172) with:
+
+  - deterministic per-epoch sampling (numpy Generator seeded by
+    (seed, epoch) — reproducible, resumable);
+  - fixed-shape output: images uint8 [B, S, S, 3] NHWC, labels [B, M, 5]
+    normalized xywh with class == -1 padding;
+  - `prefetch_to_device`: a background thread pipelines host work with
+    device compute and lands batches pre-sharded over the mesh 'data' axis
+    (the double-buffered jax.device_put plan, SURVEY.md §2.6 item 6);
+  - normalization fused into the jitted step via `normalize_images`
+    (uint8 -> model dtype on device; north star: on-device image ops).
+"""
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Any, Callable, Iterator
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.mesh import shard_batch
+from .augment import IMAGENET_MEAN, IMAGENET_STD, Augmentation
+from .dataset import boxes_to_normalized_xywh, letterbox, pad_labels
+from .mosaic import mosaic4
+
+
+def normalize_images(
+    images: jnp.ndarray,
+    dtype=jnp.float32,
+    imagenet: bool = False,
+) -> jnp.ndarray:
+    """On-device uint8 -> float in [0,1], optional imagenet standardization.
+
+    Call INSIDE the jitted step so the divide/subtract fuses into the first
+    conv (demo ToTensor /255, data_gen.py:351-356; lib imagenet-norm,
+    detection_dataloader.py aug)."""
+    x = images.astype(dtype) / jnp.asarray(255.0, dtype)
+    if imagenet:
+        x = (x - jnp.asarray(IMAGENET_MEAN, dtype)) / jnp.asarray(IMAGENET_STD, dtype)
+    return x
+
+
+class DetectionLoader:
+    """Batches of letterboxed images + padded normalized-xywh labels.
+
+    train=True: optional mosaic + augmentation pipeline; val: letterbox only,
+    with per-image meta (scale, pad, original hw, pixel-space GT) for
+    eval-time unscaling and mAP (demos/yolov3_u/inference.py:92-109).
+    """
+
+    def __init__(
+        self,
+        dataset,
+        input_size: int = 416,
+        batch_size: int = 16,
+        max_boxes: int = 120,
+        train: bool = True,
+        augmentation: Augmentation | None = None,
+        mosaic_prob: float = 0.0,
+        seed: int = 0,
+        drop_last: bool | None = None,
+        pad_value: int = 114,
+    ):
+        self.ds = dataset
+        self.input_size = input_size
+        self.batch_size = batch_size
+        self.max_boxes = max_boxes
+        self.train = train
+        self.augmentation = augmentation
+        self.mosaic_prob = mosaic_prob
+        self.seed = seed
+        self.drop_last = train if drop_last is None else drop_last
+        self.pad_value = pad_value
+
+    def __len__(self) -> int:
+        n = len(self.ds)
+        return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
+
+    def _load_sample(self, idx: int, rng: np.random.Generator):
+        image, labels, sid = self.ds[idx]
+        if self.train and self.mosaic_prob > 0 and rng.uniform() < self.mosaic_prob:
+            others = rng.integers(0, len(self.ds), 3)
+            samples = [(image, labels)] + [
+                (self.ds[int(j)][0], self.ds[int(j)][1]) for j in others
+            ]
+            image, labels = mosaic4(samples, self.input_size, rng, self.pad_value)
+        if self.train and self.augmentation is not None:
+            image, labels = self.augmentation(image, labels, rng)
+        orig_hw = image.shape[:2]
+        image, scale, (px, py) = letterbox(image, self.input_size, self.pad_value)
+        if len(labels):
+            lab = labels.copy()
+            lab[:, 1:5] = lab[:, 1:5] * scale
+            lab[:, [1, 3]] += px
+            lab[:, [2, 4]] += py
+            xywhn = boxes_to_normalized_xywh(lab[:, 1:5], self.input_size, self.input_size)
+            padded = pad_labels(lab[:, 0], xywhn, self.max_boxes)
+        else:
+            padded = pad_labels(np.zeros(0), np.zeros((0, 4)), self.max_boxes)
+        meta = {
+            "id": sid,
+            "scale": scale,
+            "pad": (px, py),
+            "orig_hw": orig_hw,
+            "gt_pixels": labels,  # original-space GT for mAP
+        }
+        return image, padded, meta
+
+    def epoch(self, epoch_idx: int = 0) -> Iterator[dict]:
+        rng = np.random.default_rng((self.seed, epoch_idx))
+        order = rng.permutation(len(self.ds)) if self.train else np.arange(len(self.ds))
+        nb = len(self)
+        for b in range(nb):
+            idxs = order[b * self.batch_size : (b + 1) * self.batch_size]
+            images, labels, metas = [], [], []
+            for i in idxs:
+                img, lab, meta = self._load_sample(int(i), rng)
+                images.append(img)
+                labels.append(lab)
+                metas.append(meta)
+            # ragged last batch (eval): repeat-pad to full batch, mark count
+            real = len(images)
+            while len(images) < self.batch_size:
+                images.append(images[-1])
+                labels.append(np.full_like(labels[-1], -1))
+            yield {
+                "images": np.stack(images),
+                "labels": np.stack(labels),
+                "num_real": real,
+                "meta": metas,
+            }
+
+    def __iter__(self):
+        return self.epoch(0)
+
+
+class ClassificationLoader:
+    """Simple classification batches: images [B,S,S,3] uint8, labels [B]."""
+
+    def __init__(self, dataset, input_size=224, batch_size=32, train=True,
+                 augmentation: Augmentation | None = None, seed=0):
+        self.ds = dataset
+        self.input_size = input_size
+        self.batch_size = batch_size
+        self.train = train
+        self.augmentation = augmentation
+        self.seed = seed
+
+    def __len__(self):
+        return len(self.ds) // self.batch_size if self.train else -(-len(self.ds) // self.batch_size)
+
+    def epoch(self, epoch_idx: int = 0):
+        import cv2
+
+        rng = np.random.default_rng((self.seed, epoch_idx))
+        order = rng.permutation(len(self.ds)) if self.train else np.arange(len(self.ds))
+        for b in range(len(self)):
+            idxs = order[b * self.batch_size : (b + 1) * self.batch_size]
+            images, labels = [], []
+            for i in idxs:
+                img, lab = self.ds[int(i)]
+                if self.train and self.augmentation is not None:
+                    img, _ = self.augmentation(img, None, rng)
+                img = cv2.resize(img, (self.input_size, self.input_size))
+                images.append(img)
+                labels.append(lab)
+            while len(images) < self.batch_size:
+                images.append(images[-1])
+                labels.append(labels[-1])
+            yield {"images": np.stack(images), "labels": np.asarray(labels, np.int32)}
+
+    def __iter__(self):
+        return self.epoch(0)
+
+
+def prefetch_to_device(
+    iterator: Iterator[dict],
+    mesh=None,
+    buffer_size: int = 2,
+    device_keys: tuple[str, ...] = ("images", "labels"),
+) -> Iterator[dict]:
+    """Background-thread prefetch + device placement.
+
+    Host keys (meta, num_real) pass through untouched; `device_keys` are
+    device_put (sharded over the mesh 'data' axis when a mesh is given) so
+    the H2D copy of batch k+1 overlaps compute of batch k."""
+    q: queue.Queue = queue.Queue(maxsize=buffer_size)
+    sentinel = object()
+
+    def put(batch):
+        device_part = {k: batch[k] for k in device_keys if k in batch}
+        if mesh is not None:
+            device_part = shard_batch(device_part, mesh)
+        else:
+            device_part = jax.tree.map(jnp.asarray, device_part)
+        out = dict(batch)
+        out.update(device_part)
+        q.put(out)
+
+    def worker():
+        try:
+            for batch in iterator:
+                put(batch)
+        finally:
+            q.put(sentinel)
+
+    t = threading.Thread(target=worker, daemon=True)
+    t.start()
+    while True:
+        item = q.get()
+        if item is sentinel:
+            break
+        yield item

@@ -23,6 +23,18 @@ import jax.numpy as jnp
 from .optim import set_lr
 
 
+def device_batch(batch: dict) -> dict:
+    """Drop host-only keys (meta, ids, counts...) so a loader batch can go
+    straight into a jitted step: keeps only array-typed values."""
+    import numpy as np
+
+    return {
+        k: v
+        for k, v in batch.items()
+        if isinstance(v, (jax.Array, np.ndarray)) or hasattr(v, "__jax_array__")
+    }
+
+
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass
 class TrainState:
@@ -98,7 +110,12 @@ def make_train_step(
         )
         return new_state, metrics
 
-    return jax.jit(train_step, donate_argnums=(0,) if donate else ())
+    jitted = jax.jit(train_step, donate_argnums=(0,) if donate else ())
+
+    def wrapper(state, batch, lr, rng=None):
+        return jitted(state, device_batch(batch), lr, rng)
+
+    return wrapper
 
 
 def make_eval_step(apply_fn: Callable, postprocess: Callable | None = None) -> Callable:
@@ -113,4 +130,5 @@ def make_eval_step(apply_fn: Callable, postprocess: Callable | None = None) -> C
             out = postprocess(out, batch)
         return out
 
-    return jax.jit(eval_step)
+    jitted = jax.jit(eval_step)
+    return lambda state, batch: jitted(state, device_batch(batch))

@@ -1,0 +1,196 @@
+"""Data layer tests over a synthetic on-disk fastvision dataset."""
+import json
+import os
+
+import numpy as np
+import pytest
+
+from fastvision_tpu.data import (
+    Augmentation,
+    DetectionDataset,
+    DetectionLoader,
+    HorizontalFlip,
+    HSVJitter,
+    Jitter,
+    VerticalFlip,
+    boxes_to_normalized_xywh,
+    letterbox,
+    mosaic4,
+    normalize_images,
+    pad_labels,
+    prefetch_to_device,
+    sample_indices,
+    sample_clip_from_array,
+)
+
+
+@pytest.fixture(scope="module")
+def toy_dataset(tmp_path_factory):
+    """8 images with 1-2 boxes each, on disk in fastvision format."""
+    import cv2
+
+    root = tmp_path_factory.mktemp("fvdata")
+    rng = np.random.default_rng(0)
+    for split in ("train", "val"):
+        os.makedirs(root / split / "images")
+        os.makedirs(root / split / "labels")
+        for i in range(8):
+            h, w = int(rng.integers(80, 200)), int(rng.integers(80, 200))
+            img = rng.integers(0, 255, (h, w, 3), np.uint8)
+            cv2.imwrite(str(root / split / "images" / f"im{i}.jpg"), img)
+            n = int(rng.integers(1, 3))
+            lines = []
+            for _ in range(n):
+                x1, y1 = rng.uniform(0, w / 2), rng.uniform(0, h / 2)
+                x2, y2 = x1 + rng.uniform(10, w / 2), y1 + rng.uniform(10, h / 2)
+                cls = int(rng.integers(0, 3))
+                lines.append(f"{cls} {x1:.1f} {y1:.1f} {min(x2,w):.1f} {min(y2,h):.1f}")
+            (root / split / "labels" / f"im{i}.txt").write_text("\n".join(lines))
+    return str(root)
+
+
+def test_dataset_scan_and_read(toy_dataset):
+    ds = DetectionDataset(toy_dataset, "train")
+    assert len(ds) == 8
+    img, labels, sid = ds[0]
+    assert img.dtype == np.uint8 and img.ndim == 3
+    assert labels.shape[1] == 5
+    assert (labels[:, 3] > labels[:, 1]).all()
+
+
+def test_dataset_cache(toy_dataset):
+    ds = DetectionDataset(toy_dataset, "train", cache=True)
+    cache = os.path.join(toy_dataset, "train", ".samples.json")
+    assert os.path.exists(cache)
+    with open(cache) as f:
+        assert json.load(f) == ds.ids
+
+
+def test_letterbox_geometry():
+    img = np.zeros((100, 200, 3), np.uint8)
+    out, scale, (px, py) = letterbox(img, 64)
+    assert out.shape == (64, 64, 3)
+    assert scale == 64 / 200
+    assert px == 0 and py == (64 - 32) // 2
+    # pad area has pad_value
+    assert out[0, 0, 0] == 114
+
+
+def test_pad_labels_and_normalize():
+    xyxy = np.array([[10.0, 20.0, 30.0, 60.0]])
+    xywhn = boxes_to_normalized_xywh(xyxy, height=100, width=100)
+    np.testing.assert_allclose(xywhn, [[0.2, 0.4, 0.2, 0.4]])
+    padded = pad_labels(np.array([2]), xywhn, 5)
+    assert padded.shape == (5, 5)
+    assert padded[0, 0] == 2 and padded[1, 0] == -1
+
+
+def test_hflip_labels_roundtrip():
+    img = np.zeros((50, 100, 3), np.uint8)
+    labels = np.array([[0, 10.0, 5.0, 30.0, 25.0]])
+    flip = HorizontalFlip(p=1.0)
+    img2, lab2 = flip.apply(img, labels, {})
+    np.testing.assert_allclose(lab2[0, 1:], [70, 5, 90, 25])
+    _, lab3 = flip.apply(img2, lab2, {})
+    np.testing.assert_allclose(lab3, labels)
+
+
+def test_augmentation_replay_identical(rng):
+    img = rng.integers(0, 255, (64, 64, 3)).astype(np.uint8)
+    labels = np.array([[0, 5.0, 5.0, 30.0, 30.0]])
+    aug = Augmentation([Jitter(0.3, p=1.0), HorizontalFlip(p=0.5),
+                        VerticalFlip(p=0.5), HSVJitter(p=1.0)])
+    out1, lab1 = aug(img.copy(), labels.copy(), np.random.default_rng(42))
+    out2, lab2 = aug.replay(img.copy(), labels.copy())
+    np.testing.assert_array_equal(out1, out2)
+    np.testing.assert_allclose(lab1, lab2)
+
+
+def test_mosaic_output_shape(rng):
+    samples = [
+        (rng.integers(0, 255, (80, 100, 3)).astype(np.uint8),
+         np.array([[0, 10.0, 10.0, 50.0, 50.0]]))
+        for _ in range(4)
+    ]
+    img, labels = mosaic4(samples, 128, np.random.default_rng(0))
+    assert img.shape == (128, 128, 3)
+    if len(labels):
+        assert (labels[:, 1:] >= 0).all() and (labels[:, 1:] <= 128).all()
+
+
+def test_detection_loader_fixed_shapes(toy_dataset):
+    ds = DetectionDataset(toy_dataset, "train")
+    loader = DetectionLoader(ds, input_size=96, batch_size=4, max_boxes=10,
+                             train=True, mosaic_prob=0.5,
+                             augmentation=Augmentation([HorizontalFlip(p=0.5)]))
+    batches = list(loader.epoch(0))
+    assert len(batches) == 2
+    for b in batches:
+        assert b["images"].shape == (4, 96, 96, 3)
+        assert b["images"].dtype == np.uint8
+        assert b["labels"].shape == (4, 10, 5)
+        valid = b["labels"][..., 0] >= 0
+        # normalized coords within [0,1]
+        lab = b["labels"][valid]
+        assert (lab[:, 1:] >= -1e-6).all() and (lab[:, 1:] <= 1 + 1e-6).all()
+
+
+def test_detection_loader_deterministic(toy_dataset):
+    ds = DetectionDataset(toy_dataset, "train")
+    mk = lambda: DetectionLoader(ds, input_size=64, batch_size=4, train=True,
+                                 mosaic_prob=0.5, seed=7)
+    b1 = next(iter(mk().epoch(3)))
+    b2 = next(iter(mk().epoch(3)))
+    np.testing.assert_array_equal(b1["images"], b2["images"])
+    np.testing.assert_array_equal(b1["labels"], b2["labels"])
+    b3 = next(iter(mk().epoch(4)))
+    assert not np.array_equal(b1["images"], b3["images"])
+
+
+def test_val_loader_meta_and_ragged(toy_dataset):
+    ds = DetectionDataset(toy_dataset, "val")
+    loader = DetectionLoader(ds, input_size=64, batch_size=3, train=False)
+    batches = list(loader.epoch(0))
+    assert len(batches) == 3  # 8 / 3 -> 3 batches, last ragged
+    assert batches[-1]["num_real"] == 2
+    m = batches[0]["meta"][0]
+    assert "scale" in m and "pad" in m and m["gt_pixels"].shape[1] == 5
+
+
+def test_prefetch_to_device(toy_dataset, mesh):
+    import jax
+
+    ds = DetectionDataset(toy_dataset, "train")
+    loader = DetectionLoader(ds, input_size=64, batch_size=8, train=True)
+    got = list(prefetch_to_device(loader.epoch(0), mesh=mesh))
+    assert len(got) == 1
+    assert isinstance(got[0]["images"], jax.Array)
+    assert not got[0]["images"].sharding.is_fully_replicated  # sharded over data
+    assert got[0]["meta"][0]["id"].startswith("im")
+
+
+def test_normalize_images_on_device():
+    import jax.numpy as jnp
+
+    x = jnp.full((1, 2, 2, 3), 255, jnp.uint8)
+    out = np.asarray(normalize_images(x))
+    np.testing.assert_allclose(out, 1.0)
+    out_in = np.asarray(normalize_images(x, imagenet=True))
+    np.testing.assert_allclose(out_in[..., 0], (1 - 0.485) / 0.229, rtol=1e-5)
+
+
+def test_video_sample_indices():
+    idx = sample_indices(100, 16, "consecutive", np.random.default_rng(0))
+    assert len(idx) == 16 and (np.diff(idx) == 1).all()
+    idx = sample_indices(100, 16, "average", np.random.default_rng(0))
+    assert len(idx) == 16 and (np.diff(idx) == 100 // 16).all()
+    idx = sample_indices(10, 16, "random", np.random.default_rng(0))
+    assert len(idx) == 16 and idx.max() < 10
+    idx = sample_indices(100, 8, "clip_random", np.random.default_rng(0))
+    assert len(idx) == 8 and (np.diff(idx) > 0).all()
+
+
+def test_video_clip_from_array(rng):
+    frames = rng.integers(0, 255, (40, 8, 8, 3)).astype(np.uint8)
+    clip = sample_clip_from_array(frames, 16, "average", np.random.default_rng(0))
+    assert clip.shape == (16, 8, 8, 3)
