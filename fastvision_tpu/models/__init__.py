@@ -1,2 +1,2 @@
 """Model zoos: classification, detection, video (SURVEY.md §2.3)."""
-from . import classification, detection
+from . import classification, detection, video

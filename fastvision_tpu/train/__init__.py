@@ -20,4 +20,5 @@ from .schedulers import (
     step_decay_lr,
     warmup_cosine_lr,
 )
-from .steps import TrainState, make_eval_step, make_train_step
+from .steps import TrainState, device_batch, make_eval_step, make_train_step
+from .fit import Fit, classification_evaluator, detection_evaluator

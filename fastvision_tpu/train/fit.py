@@ -1,0 +1,227 @@
+"""Fit: the epoch-level training harness.
+
+Covers the reference's three runner recipes in one class (SURVEY.md §2.4):
+  - utils/fit.py:29 run_epoches (train/val phases, per-epoch checkpoint,
+    NMS+mAP during val);
+  - demos/yolov3_u/cfg/_fit.py (best-val checkpoint, LR x0.1 plateau decay);
+  - demos/yolov3_huaweiShip/cfg/_fit.py (per-iter linear warmup -> cosine
+    restarts, final `no_aug` epochs on clean data at min LR, save best +
+    every epoch);
+  - demos/faster_rcnn/cfg/_fit.py (step decay, grad-norm clip — the clip
+    lives in the optimizer chain here).
+
+TPU-native: the hot loop is ONE jitted step; this class only sequences
+epochs, schedules the LR host-side (injected hyperparam — no recompiles),
+streams prefetched sharded batches, accumulates val metrics on host, and
+drives the async checkpoint manager. Unlike the reference, resume restores
+the optimizer state too (SURVEY.md §5).
+"""
+from __future__ import annotations
+
+import time
+from typing import Any, Callable, Iterator
+
+import jax
+import numpy as np
+
+from ..core.checkpoint import CheckpointManager
+from ..core.mesh import replicate
+from ..core.telemetry import MetricLogger
+from ..data.pipeline import prefetch_to_device
+from .schedulers import PlateauScheduler, Schedule, constant_lr
+from .steps import TrainState, make_train_step
+
+
+class Fit:
+    def __init__(
+        self,
+        apply_fn: Callable,
+        loss_fn: Callable,
+        tx,
+        variables: dict,
+        train_loader,
+        val_loader=None,
+        epochs: int = 100,
+        schedule: Schedule | None = None,
+        plateau: PlateauScheduler | None = None,
+        mesh=None,
+        evaluator: Callable | None = None,  # (state, val_loader) -> dict of metrics
+        ckpt_dir: str | None = None,
+        save_every_epoch: bool = True,
+        eval_every: int = 1,
+        no_aug_epochs: int = 0,
+        no_aug_loader=None,
+        no_aug_lr: float | None = None,
+        logger: MetricLogger | None = None,
+        log_every: int = 50,
+        start_epoch: int = 0,
+        resume: bool = False,
+        metric_mode: str = "min",  # best tracking on 'val_loss' by default
+        metric_key: str = "val_loss",
+    ):
+        self.step_fn = make_train_step(apply_fn, loss_fn, tx)
+        self.state = TrainState.create(variables, tx)
+        self.train_loader = train_loader
+        self.val_loader = val_loader
+        self.epochs = epochs
+        self.schedule = schedule or constant_lr(1e-3)
+        self.plateau = plateau
+        self.mesh = mesh
+        self.evaluator = evaluator
+        self.save_every_epoch = save_every_epoch
+        self.eval_every = eval_every
+        self.no_aug_epochs = no_aug_epochs
+        self.no_aug_loader = no_aug_loader
+        self.no_aug_lr = no_aug_lr
+        self.logger = logger or MetricLogger()
+        self.log_every = log_every
+        self.start_epoch = start_epoch
+        self.metric_mode = metric_mode
+        self.metric_key = metric_key
+        self.global_step = 0
+
+        self.ckpt = CheckpointManager(ckpt_dir) if ckpt_dir else None
+        if resume and self.ckpt and self.ckpt.latest_step() is not None:
+            restored = self.ckpt.restore(
+                like={"params": self.state.params, "opt_state": self.state.opt_state}
+            )
+            self.state = TrainState(
+                restored["state"]["params"],
+                self.state.batch_stats,
+                restored["state"]["opt_state"],
+                self.state.step,
+            )
+            self.start_epoch = int(restored["meta"].get("epoch", -1)) + 1
+            self.global_step = int(restored["meta"].get("global_step", 0))
+            print(f"[fit] resumed from epoch {self.start_epoch}")
+
+        if mesh is not None:
+            self.state = TrainState(
+                replicate(self.state.params, mesh),
+                replicate(self.state.batch_stats, mesh),
+                replicate(self.state.opt_state, mesh),
+                self.state.step,
+            )
+
+    # ------------------------------------------------------------------
+    def _lr(self) -> float:
+        lr = self.schedule(self.global_step)
+        if self.plateau is not None:
+            lr *= self.plateau.scale
+        return lr
+
+    def _train_epoch(self, epoch: int, loader, lr_override: float | None = None) -> float:
+        losses = []
+        t0 = time.perf_counter()
+        n_images = 0
+        for batch in prefetch_to_device(loader.epoch(epoch), mesh=self.mesh):
+            lr = lr_override if lr_override is not None else self._lr()
+            self.state, metrics = self.step_fn(self.state, batch, lr)
+            self.global_step += 1
+            n_images += batch["images"].shape[0]
+            if self.global_step % self.log_every == 0:
+                loss = float(metrics["loss"])
+                losses.append(loss)
+                dt = time.perf_counter() - t0
+                self.logger.log(
+                    self.global_step,
+                    epoch=epoch,
+                    loss=loss,
+                    lr=lr,
+                    img_per_sec=n_images / max(dt, 1e-9),
+                )
+        # final loss of the epoch (forces sync once per epoch, not per step)
+        losses.append(float(metrics["loss"]))
+        return float(np.mean(losses))
+
+    def _validate(self, epoch: int) -> dict:
+        metrics: dict[str, Any] = {}
+        if self.evaluator is not None and self.val_loader is not None:
+            metrics = dict(self.evaluator(self.state, self.val_loader))
+        return metrics
+
+    # ------------------------------------------------------------------
+    def run(self) -> TrainState:
+        main_epochs = self.epochs - self.no_aug_epochs
+        for epoch in range(self.start_epoch, self.epochs):
+            no_aug_phase = epoch >= main_epochs
+            loader = (
+                (self.no_aug_loader or self.train_loader) if no_aug_phase else self.train_loader
+            )
+            lr_override = self.no_aug_lr if no_aug_phase else None
+            train_loss = self._train_epoch(epoch, loader, lr_override)
+
+            val_metrics = {}
+            if (epoch + 1) % self.eval_every == 0 or epoch == self.epochs - 1:
+                val_metrics = self._validate(epoch)
+            self.logger.log(self.global_step, epoch=epoch, train_loss=train_loss, **val_metrics)
+
+            metric = val_metrics.get(self.metric_key, train_loss)
+            if self.plateau is not None:
+                self.plateau.update(metric)
+            if self.ckpt is not None and (self.save_every_epoch or epoch == self.epochs - 1):
+                self.ckpt.save(
+                    epoch,
+                    jax.device_get(self.state.params),
+                    opt_state=jax.device_get(self.state.opt_state),
+                    extra={"epoch": epoch, "global_step": self.global_step,
+                           "train_loss": train_loss, **{k: float(v) for k, v in val_metrics.items()}},
+                    metric=float(metric),
+                    higher_is_better=(self.metric_mode == "max"),
+                )
+        if self.ckpt is not None:
+            self.ckpt.wait()
+        return self.state
+
+
+def detection_evaluator(
+    eval_step: Callable,
+    num_batches: int | None = None,
+    mesh=None,
+) -> Callable:
+    """Build an evaluator(state, loader) -> {'map50', 'map', 'val_loss'?}.
+
+    eval_step(state, batch) must return ops.nms.Detections in INPUT-size
+    coordinates (decode+NMS inside the jit, ref utils/fit.py:95). Boxes are
+    unscaled to original image space per the loader's meta and streamed into
+    the mAP evaluator (ref utils/fit.py:101-103)."""
+    from ..infer.postprocess import scale_coords
+    from ..ops.map import MeanAveragePrecision
+
+    def evaluate(state, loader) -> dict:
+        m = MeanAveragePrecision()
+        for bi, batch in enumerate(prefetch_to_device(loader.epoch(0), mesh=mesh)):
+            if num_batches is not None and bi >= num_batches:
+                break
+            det = eval_step(state, batch)
+            det = jax.device_get(det)
+            for i in range(batch["num_real"]):
+                meta = batch["meta"][i]
+                valid = det.valid[i]
+                boxes = scale_coords(
+                    det.boxes[i][valid], meta["scale"], meta["pad"], meta["orig_hw"]
+                )
+                gt = meta["gt_pixels"]
+                m.update(boxes, det.scores[i][valid], det.classes[i][valid],
+                         gt[:, 1:5], gt[:, 0])
+        res = m.compute()
+        return {"map50": res.map50, "map": res.map}
+
+    return evaluate
+
+
+def classification_evaluator(eval_step: Callable, mesh=None) -> Callable:
+    """evaluator(state, loader) -> {'accuracy'} (ref metrics/accuracy.py:3)."""
+
+    def evaluate(state, loader) -> dict:
+        correct = total = 0
+        for batch in prefetch_to_device(loader.epoch(0), mesh=mesh):
+            logits = jax.device_get(eval_step(state, batch))
+            n = batch.get("num_real", batch["images"].shape[0])
+            pred = np.argmax(logits[:n], axis=-1)
+            labels = np.asarray(batch["labels"])[:n]
+            correct += int((pred == labels).sum())
+            total += int(n)
+        return {"accuracy": correct / max(total, 1)}
+
+    return evaluate

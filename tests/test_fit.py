@@ -1,0 +1,206 @@
+"""Fit harness integration tests: detection + classification end-to-end on
+a synthetic dataset, with checkpointing, plateau, no-aug phase, mAP val."""
+import os
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from fastvision_tpu.data import (
+    ClassificationLoader,
+    DetectionDataset,
+    DetectionLoader,
+    normalize_images,
+)
+from fastvision_tpu.infer.decode import decode_predictions
+from fastvision_tpu.models.detection import YOLOv3
+from fastvision_tpu.nn.layers import ConvBN
+from fastvision_tpu.ops.nms import batched_non_max_suppression
+from fastvision_tpu.train import (
+    Fit,
+    PlateauScheduler,
+    YOLOv3Loss,
+    build_optimizer,
+    classification_evaluator,
+    cross_entropy,
+    detection_evaluator,
+    make_eval_step,
+    warmup_cosine_lr,
+)
+
+
+class TinyBackbone(nn.Module):
+    """Minimal [P5,P4,P3] backbone for fast tests."""
+
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train=False):
+        feats = []
+        ch = [8, 16, 32, 64, 128]
+        for i in range(5):
+            x = ConvBN(ch[i], 3, 2, dtype=self.dtype, name=f"c{i}")(x, train)
+            feats.append(x)
+        return [feats[4], feats[3], feats[2]]
+
+
+ANCHORS = jnp.asarray(
+    [[[50, 40], [60, 50], [70, 60]],
+     [[40, 35], [45, 40], [50, 45]],
+     [[25, 20], [30, 25], [35, 30]]],
+    jnp.float32,
+)
+
+
+@pytest.fixture(scope="module")
+def det_data(tmp_path_factory):
+    import cv2
+
+    root = tmp_path_factory.mktemp("fitdata")
+    rng = np.random.default_rng(1)
+    for split in ("train", "val"):
+        os.makedirs(root / split / "images")
+        os.makedirs(root / split / "labels")
+        for i in range(16):
+            img = np.full((96, 96, 3), 50, np.uint8)
+            x1, y1 = int(rng.integers(5, 40)), int(rng.integers(5, 40))
+            w, h = int(rng.integers(25, 50)), int(rng.integers(25, 50))
+            img[y1 : y1 + h, x1 : x1 + w] = 220
+            cv2.imwrite(str(root / split / "images" / f"im{i}.jpg"), img)
+            (root / split / "labels" / f"im{i}.txt").write_text(
+                f"0 {x1} {y1} {min(x1+w,96)} {min(y1+h,96)}\n"
+            )
+    return str(root)
+
+
+def make_yolo_fit(det_data, tmp_path, epochs=3, **kw):
+    model = YOLOv3(num_classes=2, channels=(128, 64, 32),
+                   backbone_fn=lambda **k: TinyBackbone(**{k2: v for k2, v in k.items() if k2 != "name"}, name=k.get("name")))
+    size = 96
+    variables = model.init(jax.random.key(0), jnp.zeros((2, size, size, 3)), train=True)
+    loss_obj = YOLOv3Loss(ANCHORS, num_classes=2)
+
+    def apply_fn(v, images, **kwargs):
+        return model.apply(v, normalize_images(images), **kwargs)
+
+    def loss_fn(heads, batch):
+        out = loss_obj(heads, batch["labels"])
+        return out.total, {"box": out.box}
+
+    tx = build_optimizer("adam", variables["params"])
+    train_loader = DetectionLoader(
+        DetectionDataset(det_data, "train"), input_size=size, batch_size=8,
+        max_boxes=8, train=True, seed=0,
+    )
+    val_loader = DetectionLoader(
+        DetectionDataset(det_data, "val"), input_size=size, batch_size=8,
+        max_boxes=8, train=False,
+    )
+
+    def postprocess(heads, batch):
+        pred = decode_predictions(heads, ANCHORS, (32, 16, 8), "v5")
+        return batched_non_max_suppression(pred, conf_thres=0.1, max_det=10,
+                                           pre_nms_top_k=64)
+
+    eval_step = make_eval_step(apply_fn, postprocess)
+    fit = Fit(
+        apply_fn, loss_fn, tx, variables,
+        train_loader, val_loader,
+        epochs=epochs,
+        schedule=warmup_cosine_lr(3e-3, 1e-4, total_steps=epochs * len(train_loader),
+                                  warmup_steps=2),
+        evaluator=detection_evaluator(eval_step),
+        ckpt_dir=str(tmp_path / "ckpt"),
+        logger=None,
+        **kw,
+    )
+    return fit
+
+
+def test_detection_fit_end_to_end(det_data, tmp_path):
+    fit = make_yolo_fit(det_data, tmp_path, epochs=3)
+    state = fit.run()
+    assert int(fit.global_step) == 3 * 2  # 3 epochs x 2 batches
+    # checkpoints written
+    assert fit.ckpt.latest_step() == 2
+    # the metric log contains map50
+    meta = fit.ckpt.restore(like={"params": state.params,
+                                  "opt_state": state.opt_state})["meta"]
+    assert "map50" in meta and 0.0 <= meta["map50"] <= 1.0
+
+
+def test_detection_fit_resume(det_data, tmp_path):
+    fit = make_yolo_fit(det_data, tmp_path, epochs=2)
+    fit.run()
+    fit2 = make_yolo_fit(det_data, tmp_path, epochs=4, resume=True)
+    assert fit2.start_epoch == 2
+    fit2.run()
+    assert fit2.ckpt.latest_step() == 3
+
+
+def test_detection_fit_no_aug_phase(det_data, tmp_path):
+    val_as_clean = DetectionLoader(
+        DetectionDataset(det_data, "val"), input_size=96, batch_size=8,
+        max_boxes=8, train=True, seed=1,
+    )
+    fit = make_yolo_fit(det_data, tmp_path, epochs=3, no_aug_epochs=1,
+                        no_aug_loader=val_as_clean, no_aug_lr=1e-5)
+    fit.run()
+    assert fit.ckpt.latest_step() == 2
+
+
+def test_plateau_integration(det_data, tmp_path):
+    plateau = PlateauScheduler(patience=1, gamma=0.1)
+    fit = make_yolo_fit(det_data, tmp_path, epochs=2, plateau=plateau)
+    fit.run()
+    assert plateau.best is not None
+
+
+def test_classification_fit(tmp_path, rng):
+    """2-class classification on synthetic data via Fit + accuracy eval."""
+    import cv2
+
+    root = tmp_path / "cls"
+    for split in ("train", "val"):
+        for ci, name in enumerate(("dark", "bright")):
+            d = root / split / name
+            os.makedirs(d)
+            for i in range(8):
+                val = 40 if ci == 0 else 210
+                img = np.full((32, 32, 3), val, np.uint8)
+                img += rng.integers(0, 30, img.shape).astype(np.uint8)
+                cv2.imwrite(str(d / f"{i}.jpg"), img)
+
+    from fastvision_tpu.data import ClassificationDataset
+
+    class TinyNet(nn.Module):
+        @nn.compact
+        def __call__(self, x, train=False):
+            x = ConvBN(8, 3, 2, name="c0")(x, train)
+            x = jnp.mean(x, axis=(1, 2))
+            return nn.Dense(2)(x)
+
+    model = TinyNet()
+    variables = model.init(jax.random.key(0), jnp.zeros((2, 32, 32, 3)), train=True)
+
+    def apply_fn(v, images, **kw):
+        return model.apply(v, normalize_images(images), **kw)
+
+    def loss_fn(logits, batch):
+        return cross_entropy(logits, batch["labels"]), {}
+
+    tx = build_optimizer("adam", variables["params"], weight_decay=0.0)
+    train_loader = ClassificationLoader(
+        ClassificationDataset(str(root), "train"), input_size=32, batch_size=8)
+    val_loader = ClassificationLoader(
+        ClassificationDataset(str(root), "val"), input_size=32, batch_size=8, train=False)
+    eval_step = make_eval_step(apply_fn)
+    fit = Fit(apply_fn, loss_fn, tx, variables, train_loader, val_loader,
+              epochs=5, schedule=lambda s: 5e-3,
+              evaluator=classification_evaluator(eval_step),
+              metric_key="accuracy", metric_mode="max")
+    fit.run()
+    acc = fit._validate(0)["accuracy"]
+    assert acc >= 0.9, acc
