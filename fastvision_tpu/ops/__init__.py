@@ -28,6 +28,8 @@ from .nms import (
     non_max_suppression,
 )
 from .anchors import COCO_ANCHORS, AnchorGenerator, kmeans_anchors
+from .box_coder import decode_boxes, encode_boxes
+from .roi_align import roi_align, roi_align_single
 from .map import CalculateMAP, MAPResult, MeanAveragePrecision, compute_ap, match_predictions
 from .one_hot import one_hot
 
