@@ -1,0 +1,178 @@
+"""Detector: one-stop inference over images, directories, and videos.
+
+Covers demos/yolov3_u/inference.py:140 (single/dir image inference + COCO
+mAP sweep + metric-table writer) and inference_video.py (frame loop) with
+one class. The whole device path (forward + decode + NMS) is ONE jitted
+program at a fixed batch size; host does letterbox in, unscale out.
+"""
+from __future__ import annotations
+
+import os
+import time
+from typing import Callable, Iterator, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..data.dataset import IMG_EXTS, imread_rgb
+from ..data.pipeline import normalize_images
+from ..ops.nms import Detections, batched_non_max_suppression
+from .decode import decode_predictions
+from .postprocess import scale_coords
+from .preprocess import preprocess_batch
+
+
+class Detector:
+    """YOLO-style detector wrapper.
+
+    >>> det = Detector(model, variables, anchors, input_size=416)
+    >>> results = det.predict_image("dog.jpg")
+    >>> for r in det.predict_dir("imgs/"): ...
+    """
+
+    def __init__(
+        self,
+        model,
+        variables: dict,
+        anchors,
+        input_size: int = 416,
+        strides: Sequence[int] = (32, 16, 8),
+        decode_style: str = "v5",
+        conf_thres: float = 0.25,
+        iou_thres: float = 0.45,
+        max_det: int = 300,
+        batch_size: int = 8,
+        class_names: Sequence[str] | None = None,
+        normalize: str = "scale",  # 'scale' (/255) or 'imagenet'
+        dtype=jnp.bfloat16,
+    ):
+        self.variables = variables
+        self.anchors = jnp.asarray(anchors, jnp.float32)
+        self.input_size = input_size
+        self.batch_size = batch_size
+        self.class_names = list(class_names) if class_names else None
+        strides = tuple(strides)
+        imagenet = normalize == "imagenet"
+
+        def _infer(v, images_u8):
+            x = normalize_images(images_u8, dtype, imagenet=imagenet)
+            heads = model.apply(v, x, train=False)
+            pred = decode_predictions(heads, self.anchors, strides, decode_style)
+            return batched_non_max_suppression(
+                pred.astype(jnp.float32),
+                conf_thres=conf_thres, iou_thres=iou_thres, max_det=max_det,
+            )
+
+        self._infer = jax.jit(_infer)
+
+    # ------------------------------------------------------------------
+    def predict_batch(self, images: Sequence[np.ndarray | str]) -> list[dict]:
+        """-> list of {boxes, scores, classes} in ORIGINAL image pixels."""
+        batch, metas = preprocess_batch(images, self.input_size)
+        n = len(images)
+        if n < self.batch_size:  # pad to the compiled batch size
+            batch = np.concatenate([batch, np.repeat(batch[-1:], self.batch_size - n, 0)])
+        det: Detections = jax.device_get(self._infer(self.variables, jnp.asarray(batch)))
+        out = []
+        for i in range(n):
+            v = det.valid[i]
+            boxes = scale_coords(det.boxes[i][v], metas[i]["scale"], metas[i]["pad"],
+                                 metas[i]["orig_hw"])
+            out.append({"boxes": boxes, "scores": det.scores[i][v],
+                        "classes": det.classes[i][v]})
+        return out
+
+    def predict_image(self, image: np.ndarray | str) -> dict:
+        return self.predict_batch([image])[0]
+
+    def predict_dir(self, directory: str) -> Iterator[tuple[str, dict]]:
+        """Batched inference over all images in a directory."""
+        paths = sorted(
+            os.path.join(directory, f)
+            for f in os.listdir(directory)
+            if f.lower().endswith(IMG_EXTS)
+        )
+        for i in range(0, len(paths), self.batch_size):
+            chunk = paths[i : i + self.batch_size]
+            for path, res in zip(chunk, self.predict_batch(chunk)):
+                yield path, res
+
+    def predict_video(
+        self,
+        video_path: str,
+        out_path: str | None = None,
+        frame_callback: Callable | None = None,
+        max_frames: int | None = None,
+    ) -> int:
+        """Frame-loop inference (ref inference_video.py); optionally writes
+        an annotated video. Returns frames processed."""
+        import cv2
+
+        from ..viz.draw import draw_detections
+
+        cap = cv2.VideoCapture(video_path)
+        writer = None
+        count = 0
+        while True:
+            ok, frame = cap.read()
+            if not ok or (max_frames is not None and count >= max_frames):
+                break
+            rgb = cv2.cvtColor(frame, cv2.COLOR_BGR2RGB)
+            res = self.predict_image(rgb)
+            if frame_callback is not None:
+                frame_callback(rgb, res)
+            if out_path is not None:
+                drawn = draw_detections(rgb, res["boxes"], res["scores"],
+                                        res["classes"], self.class_names)
+                if writer is None:
+                    fps = cap.get(cv2.CAP_PROP_FPS) or 25
+                    writer = cv2.VideoWriter(
+                        out_path, cv2.VideoWriter_fourcc(*"mp4v"), fps,
+                        (drawn.shape[1], drawn.shape[0]),
+                    )
+                writer.write(cv2.cvtColor(drawn, cv2.COLOR_RGB2BGR))
+            count += 1
+        cap.release()
+        if writer is not None:
+            writer.release()
+        return count
+
+    # ------------------------------------------------------------------
+    def evaluate(
+        self,
+        dataset,
+        metric_file: str | None = None,
+        config_note: str = "",
+        max_images: int | None = None,
+    ) -> dict:
+        """mAP over a DetectionDataset; optionally append the run to a
+        metric table file (ref inference.py:234-247 metric.txt writer)."""
+        from ..ops.map import MeanAveragePrecision
+
+        m = MeanAveragePrecision()
+        paths, gts = [], []
+        n = len(dataset) if max_images is None else min(len(dataset), max_images)
+        t0 = time.perf_counter()
+        for start in range(0, n, self.batch_size):
+            idxs = range(start, min(start + self.batch_size, n))
+            images, labels = [], []
+            for i in idxs:
+                img, lab, _ = dataset[i]
+                images.append(img)
+                labels.append(lab)
+            for res, lab in zip(self.predict_batch(images), labels):
+                m.update(res["boxes"], res["scores"], res["classes"],
+                         lab[:, 1:5], lab[:, 0])
+        dt = time.perf_counter() - t0
+        r = m.compute()
+        result = {
+            "map50": r.map50, "map": r.map, "images": n,
+            "img_per_sec": n / max(dt, 1e-9),
+        }
+        if metric_file:
+            with open(metric_file, "a") as f:
+                header = " ".join(f"mAP@{t:.2f}" for t in r.iou_thresholds)
+                row = " ".join(f"{v:.4f}" for v in r.map_per_iou)
+                f.write(f"# {config_note}\n{header} | mAP@0.5:0.95\n{row} | {r.map:.4f}\n")
+        return result

@@ -1,0 +1,156 @@
+"""Inference layer tests: Detector, serving JSON contract, VOC writer, viz."""
+import json
+import os
+import threading
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from fastvision_tpu.infer import (
+    Detector,
+    VisionService,
+    scale_coords,
+    write_voc_submission,
+)
+from fastvision_tpu.models.detection import YOLOv3
+from fastvision_tpu.viz import draw_detections, get_color
+
+ANCHORS = np.asarray(
+    [[[60, 50], [70, 60], [80, 70]],
+     [[40, 35], [50, 40], [55, 45]],
+     [[20, 18], [28, 24], [34, 30]]],
+    np.float32,
+)
+
+
+@pytest.fixture(scope="module")
+def detector():
+    model = YOLOv3(num_classes=3)
+    variables = model.init(jax.random.key(0), jnp.zeros((1, 96, 96, 3)), train=True)
+    return Detector(model, variables, ANCHORS, input_size=96, batch_size=2,
+                    conf_thres=0.3, class_names=["a", "b", "c"], dtype=jnp.float32)
+
+
+def test_scale_coords_inverts_letterbox():
+    # 200x100 image letterboxed to 64: scale=.32, pad=(0, 16)
+    boxes_in = np.array([[10.0, 20.0, 40.0, 50.0]])
+    out = scale_coords(boxes_in, scale=0.32, pad=(0, 16), orig_hw=(100, 200))
+    # y2 = 34/0.32 = 106.25 clips to the original height 100
+    np.testing.assert_allclose(out, [[10 / 0.32, 4 / 0.32, 40 / 0.32, 100.0]],
+                               rtol=1e-5)
+
+
+def test_detector_predict_image(detector, rng):
+    img = rng.integers(0, 255, (120, 160, 3)).astype(np.uint8)
+    res = detector.predict_image(img)
+    assert set(res) == {"boxes", "scores", "classes"}
+    if len(res["boxes"]):
+        assert (res["boxes"][:, [0, 2]] <= 160).all()
+        assert (res["boxes"][:, [1, 3]] <= 120).all()
+
+
+def test_detector_predict_dir(detector, tmp_path, rng):
+    import cv2
+
+    for i in range(3):
+        cv2.imwrite(str(tmp_path / f"x{i}.jpg"),
+                    rng.integers(0, 255, (80, 80, 3)).astype(np.uint8))
+    results = list(detector.predict_dir(str(tmp_path)))
+    assert len(results) == 3
+    assert all(os.path.exists(p) for p, _ in results)
+
+
+def test_detector_evaluate_writes_metric_file(detector, tmp_path, rng):
+    import cv2
+
+    root = tmp_path / "ds"
+    os.makedirs(root / "val" / "images")
+    os.makedirs(root / "val" / "labels")
+    for i in range(2):
+        cv2.imwrite(str(root / "val" / "images" / f"i{i}.jpg"),
+                    rng.integers(0, 255, (96, 96, 3)).astype(np.uint8))
+        (root / "val" / "labels" / f"i{i}.txt").write_text("0 10 10 50 50\n")
+    from fastvision_tpu.data import DetectionDataset
+
+    ds = DetectionDataset(str(root), "val")
+    metric_file = str(tmp_path / "metric.txt")
+    res = detector.evaluate(ds, metric_file=metric_file, config_note="conf .3 iou .45")
+    assert "map50" in res and res["images"] == 2
+    content = open(metric_file).read()
+    assert "conf .3" in content and "mAP@0.50" in content
+
+
+def test_vision_service_contract(detector, rng):
+    import cv2
+
+    svc = VisionService(detector)
+    img = rng.integers(0, 255, (100, 100, 3)).astype(np.uint8)
+    ok, buf = cv2.imencode(".jpg", img)
+    out = svc.predict(buf.tobytes())
+    assert set(out) == {"detection_classes", "detection_scores", "detection_boxes"}
+    for b in out["detection_boxes"]:
+        assert len(b) == 4  # y1 x1 y2 x2
+    json.dumps(out)  # must be JSON-serializable
+    with pytest.raises(ValueError):
+        svc.predict(b"not an image")
+
+
+def test_serve_http_roundtrip(detector, rng):
+    """Spin the stdlib server on a random port and POST an image."""
+    import http.client
+
+    import cv2
+
+    from fastvision_tpu.infer.serving import serve
+
+    svc = VisionService(detector)
+    # find a free port
+    import socket
+
+    s = socket.socket()
+    s.bind(("127.0.0.1", 0))
+    port = s.getsockname()[1]
+    s.close()
+    t = threading.Thread(target=serve, args=(svc, "127.0.0.1", port), daemon=True)
+    t.start()
+    import time
+
+    time.sleep(0.3)
+    img = rng.integers(0, 255, (64, 64, 3)).astype(np.uint8)
+    ok, buf = cv2.imencode(".jpg", img)
+    conn = http.client.HTTPConnection("127.0.0.1", port, timeout=30)
+    conn.request("POST", "/predict", body=buf.tobytes())
+    resp = conn.getresponse()
+    assert resp.status == 200
+    data = json.loads(resp.read())
+    assert "detection_scores" in data
+    # bad payload -> 400
+    conn.request("POST", "/predict", body=b"garbage")
+    assert conn.getresponse().status == 400
+
+
+def test_voc_submission_writer(tmp_path):
+    dets = {
+        "000001": {"boxes": np.array([[10.0, 10.0, 50.0, 60.0]]),
+                   "scores": np.array([0.9]), "classes": np.array([0])},
+        "000002": {"boxes": np.array([[5.0, 5.0, 20.0, 25.0]]),
+                   "scores": np.array([0.7]), "classes": np.array([1])},
+    }
+    out = write_voc_submission(dets, ["dog", "cat"], out_dir=str(tmp_path))
+    dog = open(os.path.join(out, "comp3_det_test_dog.txt")).read().strip()
+    assert dog.startswith("000001 0.9")
+    assert " 11.0 11.0 51.0 61.0" in dog  # 1-based coords
+    cat = open(os.path.join(out, "comp3_det_test_cat.txt")).read()
+    assert "000002" in cat
+
+
+def test_draw_detections(rng):
+    img = rng.integers(0, 255, (100, 100, 3)).astype(np.uint8)
+    out = draw_detections(img, np.array([[10, 10, 60, 60], [5, 2, 40, 30]]),
+                          np.array([0.9, 0.5]), np.array([0, 1]), ["a", "b"])
+    assert out.shape == img.shape
+    assert not np.array_equal(out, img)
+    assert get_color(0) != get_color(1)
+    assert get_color(25) == get_color(5)  # palette wraps
