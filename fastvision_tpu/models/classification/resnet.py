@@ -90,7 +90,7 @@ class ResNet(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False):
         x = ConvBN(64, 7, 2, act="relu", dtype=self.dtype, name="stem")(x, train)
-        x = nn.max_pool(x, (3, 3), (2, 2), "SAME")
+        x = nn.max_pool(x, (3, 3), (2, 2), ((1, 1), (1, 1)))  # torch pad=1 parity
         feats = []
         for i, n_blocks in enumerate(self.stage_sizes):
             features = 64 * 2**i

@@ -50,11 +50,15 @@ class ConvBN(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False):
         bias = self.use_bias if self.use_bias is not None else not self.use_bn
+        # explicit symmetric padding (k//2): identical to SAME at stride 1,
+        # but at stride 2 XLA's SAME pads right-biased while torch's pad=1 is
+        # left-biased — explicit padding keeps imported torch weights exact.
+        p = self.kernel_size // 2
         x = nn.Conv(
             self.features,
             (self.kernel_size, self.kernel_size),
             strides=(self.strides, self.strides),
-            padding="SAME",
+            padding=((p, p), (p, p)),
             feature_group_count=self.groups,
             use_bias=bias,
             kernel_init=conv_kernel_init,
