@@ -1,0 +1,308 @@
+"""CLI: train / eval / infer / serve / convert / anchors.
+
+Unifies the reference's per-demo run.py argparse entries
+(generate/template-yolov3/run.py:80-85, demos/*/run.py) behind one command:
+
+    python -m fastvision_tpu train  --config cfg.yaml train.lr=1e-3
+    python -m fastvision_tpu eval   --config cfg.yaml --ckpt ckpts/
+    python -m fastvision_tpu infer  --config cfg.yaml --source img_or_dir
+    python -m fastvision_tpu serve  --config cfg.yaml --port 8080
+    python -m fastvision_tpu convert --kind coco --ann a.json --images d/ --out o/
+    python -m fastvision_tpu anchors --config cfg.yaml -k 9
+
+Config = dataclass tree <- YAML <- dotted overrides (core.config); dataset
+descriptors use the reference's YAML schema (data_root, dirs, num_classes,
+categories).
+"""
+from __future__ import annotations
+
+import argparse
+import sys
+
+import numpy as np
+
+
+def _load_config(args, overrides):
+    from .core.config import Config, apply_overrides, from_yaml
+
+    if args.config:
+        return from_yaml(Config, args.config, overrides)
+    return apply_overrides(Config(), overrides)
+
+
+def _build_detection(cfg, train: bool):
+    """Shared model/anchors/loader construction for detection commands."""
+    import jax
+    import jax.numpy as jnp
+
+    from .data import DetectionDataset, DetectionLoader
+    from .models.detection import YOLOv3
+    from .ops.anchors import COCO_ANCHORS
+
+    anchors = jnp.asarray(COCO_ANCHORS.reshape(3, 3, 2)[::-1].copy())
+    anchors = anchors * (cfg.data.input_size / 416.0)
+    model = YOLOv3(
+        num_classes=cfg.model.num_classes,
+        dtype=jnp.bfloat16 if cfg.train.bf16 else jnp.float32,
+    )
+    variables = model.init(
+        jax.random.key(cfg.train.seed),
+        jnp.zeros((2, cfg.data.input_size, cfg.data.input_size, 3)),
+        train=True,
+    )
+    if cfg.model.pretrained:
+        from .core.checkpoint import load_torch_state
+        from .models.import_torch import apply_import, yolov3_from_torch
+
+        state = load_torch_state(cfg.model.pretrained)
+        variables = apply_import(dict(variables), yolov3_from_torch(state))
+    return model, variables, anchors
+
+
+def cmd_train(args, overrides):
+    import jax
+
+    cfg = _load_config(args, overrides)
+    from .core.mesh import create_mesh
+    from .core.rng import set_random_seeds
+    from .core.telemetry import MetricLogger
+    from .data import (
+        Augmentation,
+        DetectionDataset,
+        DetectionLoader,
+        HorizontalFlip,
+        HSVJitter,
+        normalize_images,
+    )
+    from .infer.decode import decode_predictions
+    from .ops.nms import batched_non_max_suppression
+    from .train import (
+        Fit,
+        YOLOv3Loss,
+        build_optimizer,
+        detection_evaluator,
+        make_eval_step,
+        warmup_cosine_lr,
+    )
+
+    set_random_seeds(cfg.train.seed)
+    mesh = create_mesh()
+    model, variables, anchors = _build_detection(cfg, train=True)
+
+    train_ds = DetectionDataset(cfg.data.data_root, cfg.data.train_dir, cfg.data.cache)
+    val_ds = DetectionDataset(cfg.data.data_root, cfg.data.val_dir, cfg.data.cache)
+    aug = Augmentation([HorizontalFlip(p=0.5), HSVJitter(p=0.5)])
+    train_loader = DetectionLoader(
+        train_ds, cfg.data.input_size, cfg.data.batch_size, cfg.data.max_boxes,
+        train=True, augmentation=aug, mosaic_prob=0.5, seed=cfg.train.seed,
+    )
+    val_loader = DetectionLoader(
+        val_ds, cfg.data.input_size, cfg.data.batch_size, cfg.data.max_boxes,
+        train=False,
+    )
+    no_aug_loader = DetectionLoader(
+        train_ds, cfg.data.input_size, cfg.data.batch_size, cfg.data.max_boxes,
+        train=True, seed=cfg.train.seed,
+    )
+
+    loss_obj = YOLOv3Loss(anchors, num_classes=cfg.model.num_classes)
+
+    def apply_fn(v, images, **kw):
+        return model.apply(v, normalize_images(images, model.dtype), **kw)
+
+    def loss_fn(heads, batch):
+        out = loss_obj(heads, batch["labels"])
+        return out.total, {"box": out.box, "obj": out.obj, "cls": out.cls}
+
+    from .core.checkpoint import trainable_mask
+
+    trainable = (
+        trainable_mask(variables["params"], cfg.model.freeze) if cfg.model.freeze else None
+    )
+    tx = build_optimizer(
+        cfg.train.optimizer, variables["params"],
+        weight_decay=cfg.train.weight_decay, momentum=cfg.train.momentum,
+        nesterov=cfg.train.nesterov, grad_clip_norm=cfg.train.grad_clip_norm,
+        trainable=trainable,
+    )
+
+    def postprocess(heads, batch):
+        pred = decode_predictions(heads, anchors, (32, 16, 8), "v5")
+        return batched_non_max_suppression(
+            pred.astype(jax.numpy.float32),
+            conf_thres=cfg.nms.conf_thres, iou_thres=cfg.nms.iou_thres,
+            max_det=cfg.nms.max_det, pre_nms_top_k=cfg.nms.pre_nms_top_k,
+        )
+
+    steps_per_epoch = max(len(train_loader), 1)
+    fit = Fit(
+        apply_fn, loss_fn, tx, variables, train_loader, val_loader,
+        epochs=cfg.train.epochs, mesh=mesh,
+        schedule=warmup_cosine_lr(
+            cfg.train.lr, cfg.train.final_lr,
+            cfg.train.epochs * steps_per_epoch,
+            warmup_steps=cfg.train.warmup_epochs * steps_per_epoch,
+        ),
+        evaluator=detection_evaluator(make_eval_step(apply_fn, postprocess), mesh=mesh),
+        ckpt_dir=cfg.train.ckpt_dir,
+        save_every_epoch=cfg.train.save_every_epoch,
+        eval_every=cfg.train.eval_every,
+        no_aug_epochs=cfg.train.no_aug_epochs,
+        no_aug_loader=no_aug_loader,
+        no_aug_lr=cfg.train.final_lr,
+        logger=MetricLogger(cfg.train.ckpt_dir),
+        start_epoch=cfg.train.start_epoch,
+        resume=args.resume,
+        metric_key="map50",
+        metric_mode="max",
+    )
+    fit.run()
+
+
+def _detector_from_cfg(cfg, ckpt: str | None):
+    import jax
+    import jax.numpy as jnp
+
+    from .infer import Detector
+
+    model, variables, anchors = _build_detection(cfg, train=False)
+    if ckpt:
+        from .core.checkpoint import CheckpointManager
+
+        mgr = CheckpointManager(ckpt)
+        restored = mgr.restore(like={"params": variables["params"]})
+        variables = dict(variables)
+        variables["params"] = restored["state"]["params"]
+    return Detector(
+        model, variables, anchors, input_size=cfg.data.input_size,
+        conf_thres=cfg.nms.conf_thres, iou_thres=cfg.nms.iou_thres,
+        max_det=cfg.nms.max_det, class_names=cfg.data.categories or None,
+        dtype=jnp.bfloat16 if cfg.train.bf16 else jnp.float32,
+    )
+
+
+def cmd_eval(args, overrides):
+    cfg = _load_config(args, overrides)
+    from .data import DetectionDataset
+
+    det = _detector_from_cfg(cfg, args.ckpt)
+    ds = DetectionDataset(cfg.data.data_root, cfg.data.val_dir)
+    res = det.evaluate(
+        ds, metric_file=args.metric_file,
+        config_note=f"conf {cfg.nms.conf_thres} iou {cfg.nms.iou_thres} "
+                    f"size {cfg.data.input_size}",
+        max_images=args.max_images,
+    )
+    print(f"mAP@0.5 {res['map50']:.4f}  mAP@0.5:0.95 {res['map']:.4f}  "
+          f"({res['images']} imgs, {res['img_per_sec']:.1f} img/s)")
+
+
+def cmd_infer(args, overrides):
+    import os
+
+    cfg = _load_config(args, overrides)
+    det = _detector_from_cfg(cfg, args.ckpt)
+    from .viz import draw_detections
+
+    os.makedirs(args.out, exist_ok=True)
+    import cv2
+
+    def save(path, res):
+        from .data.dataset import imread_rgb
+
+        img = imread_rgb(path)
+        drawn = draw_detections(img, res["boxes"], res["scores"], res["classes"],
+                                det.class_names)
+        out_path = os.path.join(args.out, os.path.basename(path))
+        cv2.imwrite(out_path, cv2.cvtColor(drawn, cv2.COLOR_RGB2BGR))
+        print(f"{path}: {len(res['boxes'])} detections -> {out_path}")
+
+    if os.path.isdir(args.source):
+        for path, res in det.predict_dir(args.source):
+            save(path, res)
+    elif args.source.lower().endswith((".mp4", ".avi", ".mov", ".mkv")):
+        n = det.predict_video(args.source,
+                              os.path.join(args.out, "annotated.mp4"))
+        print(f"{n} frames -> {args.out}/annotated.mp4")
+    else:
+        save(args.source, det.predict_image(args.source))
+
+
+def cmd_serve(args, overrides):
+    cfg = _load_config(args, overrides)
+    from .infer.serving import VisionService, serve
+
+    det = _detector_from_cfg(cfg, args.ckpt)
+    serve(VisionService(det), host=args.host, port=args.port)
+
+
+def cmd_convert(args, overrides):
+    from .data.converters import coco_to_fastvision, voc_to_fastvision
+
+    if args.kind == "coco":
+        n = coco_to_fastvision(args.ann, args.images, args.out, split=args.split)
+    else:
+        n = voc_to_fastvision(args.voc_root, args.out, image_set=args.split)
+    print(f"converted {n} images -> {args.out}")
+
+
+def cmd_anchors(args, overrides):
+    cfg = _load_config(args, overrides)
+    from .data import DetectionDataset
+    from .ops.anchors import AnchorGenerator
+
+    ds = DetectionDataset(cfg.data.data_root, cfg.data.train_dir)
+    gen = AnchorGenerator(datasets=[ds], k=args.k, cache_dir=args.cache_dir)
+    anchors = gen.get_anchors()
+    print("anchors (w, h), area-ascending:")
+    for w, h in anchors:
+        print(f"  {w:.1f} {h:.1f}")
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser("fastvision_tpu")
+    sub = parser.add_subparsers(dest="cmd", required=True)
+
+    def common(p):
+        p.add_argument("--config", default="", help="YAML config file")
+        return p
+
+    p = common(sub.add_parser("train"))
+    p.add_argument("--resume", action="store_true")
+    p = common(sub.add_parser("eval"))
+    p.add_argument("--ckpt", default="")
+    p.add_argument("--metric-file", default="")
+    p.add_argument("--max-images", type=int, default=None)
+    p = common(sub.add_parser("infer"))
+    p.add_argument("--ckpt", default="")
+    p.add_argument("--source", required=True)
+    p.add_argument("--out", default="./outputs")
+    p = common(sub.add_parser("serve"))
+    p.add_argument("--ckpt", default="")
+    p.add_argument("--host", default="0.0.0.0")
+    p.add_argument("--port", type=int, default=8080)
+    p = sub.add_parser("convert")
+    p.add_argument("--kind", choices=["coco", "voc"], required=True)
+    p.add_argument("--ann", default="")
+    p.add_argument("--images", default="")
+    p.add_argument("--voc-root", default="")
+    p.add_argument("--out", required=True)
+    p.add_argument("--split", default="train")
+    p = common(sub.add_parser("anchors"))
+    p.add_argument("-k", type=int, default=9)
+    p.add_argument("--cache-dir", default="./cache")
+
+    args, overrides = parser.parse_known_args(argv)
+    overrides = [o for o in overrides if "=" in o]
+    {
+        "train": cmd_train,
+        "eval": cmd_eval,
+        "infer": cmd_infer,
+        "serve": cmd_serve,
+        "convert": cmd_convert,
+        "anchors": cmd_anchors,
+    }[args.cmd](args, overrides)
+
+
+if __name__ == "__main__":
+    main()

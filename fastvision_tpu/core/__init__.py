@@ -22,6 +22,8 @@ from .config import (
     to_dict,
     update_dataclass,
 )
+from .distributed import initialize_multihost, process_info, set_visible_devices
+from .plots import plot_anchors, plot_metrics, plot_pr_curves
 from .rng import set_random_seeds, step_key
 from .telemetry import MetricLogger, StepTimer, trace
 from .checkpoint import (

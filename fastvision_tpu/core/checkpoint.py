@@ -96,19 +96,16 @@ class CheckpointManager:
         metric: float | None = None,
         higher_is_better: bool = True,
     ) -> None:
-        state = {"params": params}
-        if opt_state is not None:
-            state["opt_state"] = opt_state
         meta = dict(extra or {})
         meta["date"] = datetime.datetime.now().isoformat()
         meta["step"] = step
-        self._mgr.save(
-            step,
-            args=ocp.args.Composite(
-                state=ocp.args.StandardSave(state),
-                meta=ocp.args.JsonSave(meta),
-            ),
-        )
+        items = {
+            "params": ocp.args.StandardSave(params),
+            "meta": ocp.args.JsonSave(meta),
+        }
+        if opt_state is not None:
+            items["opt_state"] = ocp.args.StandardSave(opt_state)
+        self._mgr.save(step, args=ocp.args.Composite(**items))
         if metric is not None:
             better = (
                 self._best_metric is None
@@ -123,21 +120,24 @@ class CheckpointManager:
         return self._mgr.latest_step()
 
     def restore(self, step: int | None = None, like: Any = None) -> dict:
-        """Restore a checkpoint; `like` provides the pytree structure/sharding."""
+        """Restore a checkpoint.
+
+        `like` is a dict giving pytree structure/sharding per item, e.g.
+        {'params': params_like} or {'params': ..., 'opt_state': ...} —
+        items absent from `like` are not restored (partial restore works:
+        eval needs only params even when opt_state is on disk)."""
         step = step if step is not None else self.latest_step()
         if step is None:
             raise FileNotFoundError(f"no checkpoint under {self.directory}")
         if like is not None:
-            restored = self._mgr.restore(
-                step,
-                args=ocp.args.Composite(
-                    state=ocp.args.StandardRestore(like),
-                    meta=ocp.args.JsonRestore(),
-                ),
-            )
+            items = {"meta": ocp.args.JsonRestore()}
+            for key, target in like.items():
+                items[key] = ocp.args.StandardRestore(target)
+            restored = self._mgr.restore(step, args=ocp.args.Composite(**items))
         else:
             restored = self._mgr.restore(step)
-        return {"state": restored["state"], "meta": restored.get("meta", {})}
+        state = {k: v for k, v in restored.items() if k != "meta"}
+        return {"state": state, "meta": restored.get("meta", {}) or {}}
 
     def wait(self):
         self._mgr.wait_until_finished()
