@@ -11,6 +11,13 @@ HBM write of the mask.
 Inputs must be score-sorted descending (same contract as suppression_mask).
 Grid: single program (K <= a few thousand fits VMEM easily: 6 rows x K f32).
 Falls back to interpreter mode off-TPU so tests run on CPU.
+
+Measured (v5e, K=1024, single image): bit-identical keep set to the XLA
+version; 5.8 ms vs 3.3 ms for XLA — greedy NMS is latency-bound on its
+K-long sequential dependency chain, which neither form shortens, and XLA's
+precomputed overlap matrix amortizes better per step. The XLA composition
+therefore stays the default (ops.nms); this kernel is kept as the
+lower-HBM-traffic alternative and the base for future blockwise variants.
 """
 from __future__ import annotations
 
@@ -24,33 +31,39 @@ from jax.experimental.pallas import tpu as pltpu
 
 def _nms_kernel(iou_thres: float, coords_ref, valid_ref, keep_ref):
     """coords_ref: [8, K] f32 rows = (x1, y1, x2, y2, pad...); valid_ref:
-    [1, K] f32 (1 = candidate); keep_ref out [1, K] f32."""
-    x1 = coords_ref[0, :]
-    y1 = coords_ref[1, :]
-    x2 = coords_ref[2, :]
-    y2 = coords_ref[3, :]
+    [1, K] f32 (1 = candidate); keep_ref out [1, K] f32.
+
+    No dynamic scalar extraction (unsupported in Mosaic lowering): box i's
+    coordinates are pulled out with one-hot masked reductions — K-wide VPU
+    ops throughout, state carried as a [1, K] vector."""
+    x1 = coords_ref[0:1, :]  # [1, K]
+    y1 = coords_ref[1:2, :]
+    x2 = coords_ref[2:3, :]
+    y2 = coords_ref[3:4, :]
     area = (x2 - x1) * (y2 - y1)
-    k = x1.shape[0]
+    k = x1.shape[1]
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, k), 1)
 
     def body(i, suppressed):
-        # scalar coords of box i
-        xi1 = x1[i]
-        yi1 = y1[i]
-        xi2 = x2[i]
-        yi2 = y2[i]
+        onehot = (lane == i).astype(jnp.float32)  # [1, K]
+        xi1 = jnp.sum(x1 * onehot)
+        yi1 = jnp.sum(y1 * onehot)
+        xi2 = jnp.sum(x2 * onehot)
+        yi2 = jnp.sum(y2 * onehot)
         area_i = (xi2 - xi1) * (yi2 - yi1)
         iw = jnp.maximum(jnp.minimum(x2, xi2) - jnp.maximum(x1, xi1), 0.0)
         ih = jnp.maximum(jnp.minimum(y2, yi2) - jnp.maximum(y1, yi1), 0.0)
         inter = iw * ih
         iou = inter / (area + area_i - inter + 1e-7)
-        keep_i = (suppressed[i] == 0.0) & (valid_ref[0, i] > 0.0)
-        later = jax.lax.broadcasted_iota(jnp.int32, (k,), 0) > i
-        newly = jnp.where(keep_i & later & (iou > iou_thres), 1.0, 0.0)
+        sup_i = jnp.sum(suppressed * onehot)
+        val_i = jnp.sum(valid_ref[0:1, :] * onehot)
+        keep_i = (sup_i == 0.0) & (val_i > 0.0)
+        newly = jnp.where(keep_i & (lane > i) & (iou > iou_thres), 1.0, 0.0)
         return jnp.maximum(suppressed, newly)
 
-    suppressed = jax.lax.fori_loop(0, k, body, jnp.zeros((k,), jnp.float32))
-    keep_ref[0, :] = jnp.where(
-        (suppressed == 0.0) & (valid_ref[0, :] > 0.0), 1.0, 0.0
+    suppressed = jax.lax.fori_loop(0, k, body, jnp.zeros((1, k), jnp.float32))
+    keep_ref[0:1, :] = jnp.where(
+        (suppressed == 0.0) & (valid_ref[0:1, :] > 0.0), 1.0, 0.0
     )
 
 
