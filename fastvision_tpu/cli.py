@@ -63,6 +63,8 @@ def cmd_train(args, overrides):
     import jax
 
     cfg = _load_config(args, overrides)
+    if cfg.model.name == "faster_rcnn":
+        return _train_faster_rcnn(cfg, args)
     from .core.mesh import create_mesh
     from .core.rng import set_random_seeds
     from .core.telemetry import MetricLogger
@@ -155,6 +157,146 @@ def cmd_train(args, overrides):
         resume=args.resume,
         metric_key="map50",
         metric_mode="max",
+    )
+    fit.run()
+
+
+def _train_faster_rcnn(cfg, args):
+    """Two-stage training path (ref demos/faster_rcnn/run.py surface)."""
+    import jax
+    import jax.numpy as jnp
+
+    from .core.mesh import create_mesh
+    from .core.rng import set_random_seeds
+    from .core.telemetry import MetricLogger
+    from .data import DetectionDataset, DetectionLoader
+    from .models.detection import FasterRCNN
+    from .train import (
+        Fit,
+        build_optimizer,
+        detection_evaluator,
+        make_frcnn_eval_step,
+        make_frcnn_train_step,
+        step_decay_lr,
+    )
+
+    set_random_seeds(cfg.train.seed)
+    mesh = create_mesh()
+    size = cfg.data.input_size
+    model = FasterRCNN(
+        num_classes=cfg.model.num_classes, image_size=size,
+        dtype=jnp.bfloat16 if cfg.train.bf16 else jnp.float32,
+    )
+    labels0 = jnp.full((2, cfg.data.max_boxes, 5), -1, jnp.float32)
+    variables = model.init(
+        {"params": jax.random.key(cfg.train.seed),
+         "sampling": jax.random.key(1), "dropout": jax.random.key(2)},
+        jnp.zeros((2, size, size, 3)), labels0, train=True,
+    )
+    tx = build_optimizer(
+        cfg.train.optimizer, variables["params"],
+        weight_decay=cfg.train.weight_decay, momentum=cfg.train.momentum,
+        grad_clip_norm=cfg.train.grad_clip_norm or 10.0,  # ref clips to 10
+    )
+    train_loader = DetectionLoader(
+        DetectionDataset(cfg.data.data_root, cfg.data.train_dir, cfg.data.cache),
+        size, cfg.data.batch_size, cfg.data.max_boxes, train=True,
+        seed=cfg.train.seed,
+    )
+    val_loader = DetectionLoader(
+        DetectionDataset(cfg.data.data_root, cfg.data.val_dir, cfg.data.cache),
+        size, cfg.data.batch_size, cfg.data.max_boxes, train=False,
+    )
+    steps_per_epoch = max(len(train_loader), 1)
+    fit = Fit(
+        None, None, tx, variables, train_loader, val_loader,
+        epochs=cfg.train.epochs, mesh=mesh,
+        # step decay x0.1 every 8 epochs (demos/faster_rcnn/cfg/_fit.py:23-25)
+        schedule=step_decay_lr(cfg.train.lr, 8 * steps_per_epoch),
+        evaluator=detection_evaluator(
+            make_frcnn_eval_step(model, score_thresh=cfg.nms.conf_thres,
+                                 nms_thresh=cfg.nms.iou_thres), mesh=mesh),
+        ckpt_dir=cfg.train.ckpt_dir,
+        eval_every=cfg.train.eval_every,
+        logger=MetricLogger(cfg.train.ckpt_dir),
+        start_epoch=cfg.train.start_epoch,
+        resume=args.resume,
+        metric_key="map50", metric_mode="max",
+        step_fn=make_frcnn_train_step(model, tx, seed=cfg.train.seed),
+    )
+    fit.run()
+
+
+def cmd_train_cls(args, overrides):
+    """Classification training (ref classfication/ + template surface)."""
+    import jax
+    import jax.numpy as jnp
+
+    cfg = _load_config(args, overrides)
+    from .core.mesh import create_mesh
+    from .core.rng import set_random_seeds
+    from .core.telemetry import MetricLogger
+    from .data import (
+        Augmentation,
+        ClassificationDataset,
+        ClassificationLoader,
+        HorizontalFlip,
+        normalize_images,
+    )
+    from .models import classification as cls_zoo
+    from .train import (
+        Fit,
+        build_optimizer,
+        classification_evaluator,
+        cross_entropy,
+        make_eval_step,
+        warmup_cosine_lr,
+    )
+
+    set_random_seeds(cfg.train.seed)
+    mesh = create_mesh()
+    factory = getattr(cls_zoo, cfg.model.backbone)
+    model = factory(
+        num_classes=cfg.model.num_classes,
+        dtype=jnp.bfloat16 if cfg.train.bf16 else jnp.float32,
+    )
+    size = cfg.data.input_size
+    variables = model.init(jax.random.key(cfg.train.seed),
+                           jnp.zeros((2, size, size, 3)), train=True)
+
+    def apply_fn(v, images, **kw):
+        return model.apply(v, normalize_images(images, model.dtype, imagenet=True), **kw)
+
+    def loss_fn(logits, batch):
+        import jax.numpy as jnp
+
+        acc = jnp.mean(jnp.argmax(logits, -1) == batch["labels"])
+        return cross_entropy(logits, batch["labels"]), {"acc": acc}
+
+    tx = build_optimizer(cfg.train.optimizer, variables["params"],
+                         weight_decay=cfg.train.weight_decay,
+                         momentum=cfg.train.momentum)
+    train_loader = ClassificationLoader(
+        ClassificationDataset(cfg.data.data_root, cfg.data.train_dir,
+                              cfg.data.categories or None),
+        size, cfg.data.batch_size,
+        augmentation=Augmentation([HorizontalFlip(p=0.5)]), seed=cfg.train.seed)
+    val_loader = ClassificationLoader(
+        ClassificationDataset(cfg.data.data_root, cfg.data.val_dir,
+                              cfg.data.categories or None),
+        size, cfg.data.batch_size, train=False)
+    steps = cfg.train.epochs * max(len(train_loader), 1)
+    fit = Fit(
+        apply_fn, loss_fn, tx, variables, train_loader, val_loader,
+        epochs=cfg.train.epochs, mesh=mesh,
+        schedule=warmup_cosine_lr(cfg.train.lr, cfg.train.final_lr, steps,
+                                  warmup_steps=cfg.train.warmup_epochs
+                                  * max(len(train_loader), 1)),
+        evaluator=classification_evaluator(make_eval_step(apply_fn), mesh=mesh),
+        ckpt_dir=cfg.train.ckpt_dir,
+        logger=MetricLogger(cfg.train.ckpt_dir),
+        resume=args.resume,
+        metric_key="accuracy", metric_mode="max",
     )
     fit.run()
 
@@ -269,6 +411,8 @@ def main(argv=None):
 
     p = common(sub.add_parser("train"))
     p.add_argument("--resume", action="store_true")
+    p = common(sub.add_parser("train-cls"))
+    p.add_argument("--resume", action="store_true")
     p = common(sub.add_parser("eval"))
     p.add_argument("--ckpt", default="")
     p.add_argument("--metric-file", default="")
@@ -296,6 +440,7 @@ def main(argv=None):
     overrides = [o for o in overrides if "=" in o]
     {
         "train": cmd_train,
+        "train-cls": cmd_train_cls,
         "eval": cmd_eval,
         "infer": cmd_infer,
         "serve": cmd_serve,

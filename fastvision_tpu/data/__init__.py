@@ -18,6 +18,12 @@ from .augment import (
     ResizeByMax,
     VerticalFlip,
 )
+from .class_names import (
+    CIFAR10_CLASSES,
+    COCO_CLASSES,
+    DATASETS,
+    make_descriptor,
+)
 from .converters import VOC_CLASSES, coco_90_to_80_map, coco_to_fastvision, voc_to_fastvision
 from .dataset import (
     ClassificationDataset,

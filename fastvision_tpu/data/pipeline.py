@@ -195,6 +195,15 @@ def prefetch_to_device(
     def put(batch):
         device_part = {k: batch[k] for k in device_keys if k in batch}
         if mesh is not None:
+            from ..core.mesh import DATA_AXIS
+
+            n = mesh.shape[DATA_AXIS]
+            bs = next(iter(device_part.values())).shape[0] if device_part else 0
+            if bs % n:
+                raise ValueError(
+                    f"batch size {bs} is not divisible by the mesh 'data' axis "
+                    f"({n} devices) — pick batch_size as a multiple of {n}"
+                )
             device_part = shard_batch(device_part, mesh)
         else:
             device_part = jax.tree.map(jnp.asarray, device_part)

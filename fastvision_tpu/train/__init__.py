@@ -22,3 +22,8 @@ from .schedulers import (
 )
 from .steps import TrainState, device_batch, make_eval_step, make_train_step
 from .fit import Fit, classification_evaluator, detection_evaluator
+from .frcnn_steps import (
+    labels_to_pixel_xyxy,
+    make_frcnn_eval_step,
+    make_frcnn_train_step,
+)

@@ -58,8 +58,9 @@ class Fit:
         resume: bool = False,
         metric_mode: str = "min",  # best tracking on 'val_loss' by default
         metric_key: str = "val_loss",
+        step_fn: Callable | None = None,  # prebuilt (state, batch, lr) -> (state, metrics)
     ):
-        self.step_fn = make_train_step(apply_fn, loss_fn, tx)
+        self.step_fn = step_fn or make_train_step(apply_fn, loss_fn, tx)
         self.state = TrainState.create(variables, tx)
         self.train_loader = train_loader
         self.val_loader = val_loader
