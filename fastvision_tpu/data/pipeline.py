@@ -65,6 +65,11 @@ class DetectionLoader:
         seed: int = 0,
         drop_last: bool | None = None,
         pad_value: int = 114,
+        # Measured on this host (1 core, 64x 640x480->416): cv2's SIMD resize
+        # 1126 img/s vs our scalar C++ kernel 532 img/s — cv2 stays the
+        # default native backend; flip on where cv2 is unavailable or on
+        # many-core hosts where the kernel's batch threading wins.
+        use_native: bool = False,
     ):
         self.ds = dataset
         self.input_size = input_size
@@ -76,12 +81,18 @@ class DetectionLoader:
         self.seed = seed
         self.drop_last = train if drop_last is None else drop_last
         self.pad_value = pad_value
+        if use_native:
+            from .. import native
+
+            use_native = native.available()
+        self.use_native = use_native
 
     def __len__(self) -> int:
         n = len(self.ds)
         return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
 
-    def _load_sample(self, idx: int, rng: np.random.Generator):
+    def _load_raw(self, idx: int, rng: np.random.Generator):
+        """Decode + mosaic + augment one sample; labels stay pixel xyxy."""
         image, labels, sid = self.ds[idx]
         if self.train and self.mosaic_prob > 0 and rng.uniform() < self.mosaic_prob:
             others = rng.integers(0, len(self.ds), 3)
@@ -91,25 +102,18 @@ class DetectionLoader:
             image, labels = mosaic4(samples, self.input_size, rng, self.pad_value)
         if self.train and self.augmentation is not None:
             image, labels = self.augmentation(image, labels, rng)
-        orig_hw = image.shape[:2]
-        image, scale, (px, py) = letterbox(image, self.input_size, self.pad_value)
+        return image, labels, sid
+
+    def _finalize(self, labels, scale, px, py):
+        """Pixel-xyxy labels + letterbox transform -> padded normalized xywh."""
         if len(labels):
             lab = labels.copy()
             lab[:, 1:5] = lab[:, 1:5] * scale
             lab[:, [1, 3]] += px
             lab[:, [2, 4]] += py
             xywhn = boxes_to_normalized_xywh(lab[:, 1:5], self.input_size, self.input_size)
-            padded = pad_labels(lab[:, 0], xywhn, self.max_boxes)
-        else:
-            padded = pad_labels(np.zeros(0), np.zeros((0, 4)), self.max_boxes)
-        meta = {
-            "id": sid,
-            "scale": scale,
-            "pad": (px, py),
-            "orig_hw": orig_hw,
-            "gt_pixels": labels,  # original-space GT for mAP
-        }
-        return image, padded, meta
+            return pad_labels(lab[:, 0], xywhn, self.max_boxes)
+        return pad_labels(np.zeros(0), np.zeros((0, 4)), self.max_boxes)
 
     def epoch(self, epoch_idx: int = 0) -> Iterator[dict]:
         rng = np.random.default_rng((self.seed, epoch_idx))
@@ -117,19 +121,42 @@ class DetectionLoader:
         nb = len(self)
         for b in range(nb):
             idxs = order[b * self.batch_size : (b + 1) * self.batch_size]
-            images, labels, metas = [], [], []
-            for i in idxs:
-                img, lab, meta = self._load_sample(int(i), rng)
-                images.append(img)
-                labels.append(lab)
-                metas.append(meta)
-            # ragged last batch (eval): repeat-pad to full batch, mark count
-            real = len(images)
-            while len(images) < self.batch_size:
-                images.append(images[-1])
-                labels.append(np.full_like(labels[-1], -1))
+            raws = [self._load_raw(int(i), rng) for i in idxs]
+            real = len(raws)
+            while len(raws) < self.batch_size:  # ragged last eval batch
+                raws.append(raws[-1])
+
+            raw_images = [r[0] for r in raws]
+            if self.use_native:
+                # one C++ pass: bilinear resize + pad for the whole batch
+                from .. import native
+
+                batch, scales, pads = native.letterbox_batch(
+                    raw_images, self.input_size, self.pad_value
+                )
+                geo = [(scales[i], pads[i, 0], pads[i, 1]) for i in range(len(raws))]
+            else:
+                outs = [letterbox(im, self.input_size, self.pad_value) for im in raw_images]
+                batch = np.stack([o[0] for o in outs])
+                geo = [(o[1], o[2][0], o[2][1]) for o in outs]
+
+            labels, metas = [], []
+            for i, (image, lab, sid) in enumerate(raws):
+                scale, px, py = geo[i]
+                padded = self._finalize(lab, scale, px, py) if i < real else np.full(
+                    (self.max_boxes, 5), -1, np.float32
+                )
+                labels.append(padded)
+                if i < real:
+                    metas.append({
+                        "id": sid,
+                        "scale": scale,
+                        "pad": (px, py),
+                        "orig_hw": image.shape[:2],
+                        "gt_pixels": lab,  # original-space GT for mAP
+                    })
             yield {
-                "images": np.stack(images),
+                "images": batch,
                 "labels": np.stack(labels),
                 "num_real": real,
                 "meta": metas,
