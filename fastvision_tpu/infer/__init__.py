@@ -1,7 +1,8 @@
 """Inference: decode, pre/postprocess, predictor, serving."""
 from .decode import decode_level, decode_predictions
+from .export import export_savedmodel
 from .postprocess import detections_to_original, scale_coords
-from .predictor import Detector
+from .predictor import Detector, VideoClassifier
 from .preprocess import preprocess_batch, preprocess_image
 from .serving import VisionService, serve
 from .voc_submit import write_voc_submission

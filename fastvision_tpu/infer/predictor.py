@@ -139,7 +139,7 @@ class Detector:
         return count
 
     # ------------------------------------------------------------------
-    def evaluate(
+    def evaluate(  # noqa: C901 — thin orchestration
         self,
         dataset,
         metric_file: str | None = None,
@@ -176,3 +176,58 @@ class Detector:
                 row = " ".join(f"{v:.4f}" for v in r.map_per_iou)
                 f.write(f"# {config_note}\n{header} | mAP@0.5:0.95\n{row} | {r.map:.4f}\n")
         return result
+
+
+class VideoClassifier:
+    """Clip-level video recognition inference (ref videoRecognition usage:
+    16-frame clips through C3D / 3D-ResNet / SlowFast).
+
+    >>> vc = VideoClassifier(model, variables, class_names=names)
+    >>> vc.predict_video("clip.mp4")  # {'class', 'prob', 'probs'}
+    """
+
+    def __init__(
+        self,
+        model,
+        variables: dict,
+        num_frames: int = 16,
+        size: int = 112,
+        strategy: str = "average",
+        class_names: Sequence[str] | None = None,
+        normalize: str = "imagenet",
+        dtype=jnp.bfloat16,
+    ):
+        self.variables = variables
+        self.num_frames = num_frames
+        self.size = size
+        self.strategy = strategy
+        self.class_names = list(class_names) if class_names else None
+        imagenet = normalize == "imagenet"
+
+        def _infer(v, clips_u8):
+            x = normalize_images(clips_u8, dtype, imagenet=imagenet)
+            logits = model.apply(v, x, train=False)
+            return jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+
+        self._infer = jax.jit(_infer)
+
+    def predict_clip(self, clip: np.ndarray) -> dict:
+        """clip: [T, H, W, 3] uint8 -> {'class', 'prob', 'probs'}."""
+        import cv2
+
+        frames = np.stack(
+            [cv2.resize(f, (self.size, self.size)) for f in clip]
+        )
+        probs = np.asarray(self._infer(self.variables, jnp.asarray(frames[None])))[0]
+        idx = int(np.argmax(probs))
+        return {
+            "class": self.class_names[idx] if self.class_names else idx,
+            "prob": float(probs[idx]),
+            "probs": probs,
+        }
+
+    def predict_video(self, path: str, rng: np.random.Generator | None = None) -> dict:
+        from ..data.video_sampler import load_clip
+
+        clip = load_clip(path, self.num_frames, self.strategy, self.size, rng)
+        return self.predict_clip(clip)

@@ -26,6 +26,7 @@ from .nms import (
     batched_non_max_suppression,
     nms,
     non_max_suppression,
+    non_max_suppression_multilabel,
 )
 from .anchors import COCO_ANCHORS, AnchorGenerator, kmeans_anchors
 from .box_coder import decode_boxes, encode_boxes

@@ -146,6 +146,43 @@ def non_max_suppression(
     )
 
 
+def non_max_suppression_multilabel(
+    prediction: jnp.ndarray,
+    conf_thres: float = 0.001,
+    iou_thres: float = 0.6,
+    max_det: int = 300,
+    pre_nms_top_k: int = 1024,
+    box_format: str = "xywh",
+) -> Detections:
+    """Multi-label NMS: every (box, class) pair above threshold is its own
+    candidate — the serving variant (ref customize_service.py:224-317
+    ultralytics NMS with multi_label=True, conf .001 / iou .6)."""
+    if prediction.ndim != 2:
+        raise ValueError(f"expected [N, 5+C], got {prediction.shape}")
+    n, width = prediction.shape
+    c = width - 5
+    scores = prediction[:, 5:] * prediction[:, 4:5]  # [N, C]
+    flat_scores = jnp.where(scores > conf_thres, scores, -jnp.inf).reshape(-1)
+    k = min(pre_nms_top_k, n * c)
+    top_scores, top_idx = jax.lax.top_k(flat_scores, k)
+    box_idx = top_idx // c
+    top_classes = (top_idx % c).astype(jnp.int32)
+    boxes = prediction[box_idx, :4]
+    if box_format == "xywh":
+        boxes = xywh2xyxy(boxes)
+    nms_boxes = boxes + (top_classes.astype(boxes.dtype) * CLASS_OFFSET)[:, None]
+    keep = suppression_mask(nms_boxes, top_scores, iou_thres)
+    final_scores = jnp.where(keep, top_scores, -jnp.inf)
+    out_scores, out_idx = jax.lax.top_k(final_scores, min(max_det, k))
+    valid = out_scores > -jnp.inf
+    return Detections(
+        boxes=jnp.where(valid[:, None], boxes[out_idx], 0.0),
+        scores=jnp.where(valid, out_scores, 0.0),
+        classes=jnp.where(valid, top_classes[out_idx], -1),
+        valid=valid,
+    )
+
+
 def batched_non_max_suppression(
     prediction: jnp.ndarray,
     conf_thres: float = 0.25,

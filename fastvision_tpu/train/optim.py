@@ -13,6 +13,7 @@ from __future__ import annotations
 
 from typing import Any
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 import optax
@@ -21,8 +22,6 @@ import optax
 def decay_mask(params: Any) -> Any:
     """True for leaves that should receive weight decay: rank>1 kernels
     (conv/linear weights); biases and norm scales/offsets are excluded."""
-    import jax
-
     return jax.tree.map(lambda p: jnp.ndim(p) > 1, params)
 
 
@@ -60,9 +59,6 @@ def build_optimizer(
             jax.tree.map(lambda t: "train" if t else "freeze", trainable),
         )
     return tx
-
-
-import jax  # noqa: E402  (used in decay_mask/build_optimizer)
 
 
 def set_lr(opt_state: Any, lr) -> Any:

@@ -117,3 +117,35 @@ def test_max_det_truncation(rng):
     # the 5 kept are the top-5 scores
     top5 = set(np.argsort(-scores)[:5].tolist())
     assert set(np.nonzero(keep)[0].tolist()) == top5
+
+
+def test_multilabel_keeps_multiple_classes_per_box():
+    from fastvision_tpu.ops import non_max_suppression_multilabel
+
+    pred = np.zeros((8, 9), np.float32)  # 4 classes
+    # one box confidently two classes
+    pred[0] = [50, 50, 20, 20, 0.9, 0.9, 0.8, 0.0, 0.0]
+    det = non_max_suppression_multilabel(
+        jnp.asarray(pred), conf_thres=0.1, iou_thres=0.6, max_det=8, pre_nms_top_k=16
+    )
+    valid = np.asarray(det.valid)
+    kept_classes = sorted(np.asarray(det.classes)[valid].tolist())
+    assert kept_classes == [0, 1]  # both labels survive (multi-label)
+    # single-label variant keeps only the argmax class
+    det_single = non_max_suppression(
+        jnp.asarray(pred), conf_thres=0.1, iou_thres=0.6, max_det=8, pre_nms_top_k=16
+    )
+    v = np.asarray(det_single.valid)
+    assert sorted(np.asarray(det_single.classes)[v].tolist()) == [0]
+
+
+def test_multilabel_suppresses_within_class(rng):
+    from fastvision_tpu.ops import non_max_suppression_multilabel
+
+    pred = np.zeros((8, 7), np.float32)  # 2 classes
+    pred[0] = [50, 50, 20, 20, 0.9, 1.0, 0.0]
+    pred[1] = [51, 51, 20, 20, 0.8, 1.0, 0.0]  # same class, overlapping
+    det = non_max_suppression_multilabel(
+        jnp.asarray(pred), conf_thres=0.1, max_det=8, pre_nms_top_k=16
+    )
+    assert int(np.asarray(det.valid).sum()) == 1
