@@ -27,10 +27,10 @@ def main():
     from fastvision_tpu.models.detection import YOLOv3
     from fastvision_tpu.ops import COCO_ANCHORS, batched_non_max_suppression
 
-    # bs=64 + pre-NMS K=512 won the {32,64} x {512,1024} sweep on v5e
-    # (1286 vs 778 img/s for bs32/K1024); K=512 keeps >500 candidates per
-    # image above conf 0.25 — no mAP impact at max_det 300.
-    B, S, C = 64, 416, 80
+    # batch/pre-NMS sweep on v5e: bs32/K1024 778 -> bs64/K512 1286 ->
+    # bs128/K512 1610 img/s; K=512 keeps >500 candidates per image above
+    # conf 0.25 — no mAP impact at max_det 300.
+    B, S, C = 128, 416, 80
     anchors = jnp.asarray(COCO_ANCHORS.reshape(3, 3, 2)[::-1].copy())
     model = YOLOv3(num_classes=C, dtype=jnp.bfloat16)
     init_x = jnp.zeros((B, S, S, 3), jnp.bfloat16)
@@ -59,7 +59,7 @@ def main():
     ips = B / dt
 
     print(json.dumps({
-        "metric": "YOLOv3-416 e2e images/sec/chip (fwd+decode+NMS, bf16, bs64)",
+        "metric": "YOLOv3-416 e2e images/sec/chip (fwd+decode+NMS, bf16, bs128)",
         "value": round(ips, 1),
         "unit": "img/s/chip",
         "vs_baseline": round(ips / 250.0, 3),
