@@ -10,8 +10,11 @@ fast.py:8}, redesigned for XLA (SURVEY.md §7 hard parts):
     gathers) becomes fixed-size stochastic top-k: priority = mask + U(0,1),
     `lax.top_k` picks up-to-k true entries uniformly at random, the gathered
     mask is the sample's weight — identical statistics, static shapes;
-  - RoI Align is ops.roi_align (pure-jnp bilinear gather; the reference uses
-    the torchvision C++ kernel, fast.py:227-231);
+  - RoI Align defaults to the MXU matmul formulation (ops.roi_align_mxu:
+    interpolation factorized into two dense contractions — regular systolic
+    -array compute instead of the reference's torchvision C++ gather kernel,
+    fast.py:227-231; `roi_backend='gather'` selects the jnp gather variant,
+    both sub-ms at B8/N300/32x32x512 on v5e);
   - RPN objectness is a single sigmoid logit with focal loss (the reference
     uses 2-way softmax + FocalLoss, rpn.py:312 — same decision boundary);
   - Fast-head box targets normalized by std (0.1, 0.1, 0.2, 0.2)
@@ -39,7 +42,7 @@ from ...ops.box import clip_boxes
 from ...ops.box_coder import decode_boxes, encode_boxes
 from ...ops.iou import box_iou_matrix
 from ...ops.nms import Detections, suppression_mask
-from ...ops.roi_align import roi_align
+from ...ops.roi_align import roi_align, roi_align_mxu
 from ...train.losses import binary_cross_entropy, cross_entropy, smooth_l1
 from ..classification.vgg import CFGS, VGG
 
@@ -279,7 +282,12 @@ class FasterRCNN(nn.Module):
     roi_pos: int = 16
     roi_neg: int = 48
     roi_size: int = 7
+    roi_backend: str = "mxu"  # 'mxu' (matmul formulation) | 'gather'
     dtype: Any = jnp.float32
+
+    @property
+    def _roi_align(self):
+        return roi_align_mxu if self.roi_backend == "mxu" else roi_align
 
     def setup(self):
         self.backbone = VGG(
@@ -315,7 +323,7 @@ class FasterRCNN(nn.Module):
                 rng_roi, proposals, prop_valid, labels,
                 num_pos=self.roi_pos, num_neg=self.roi_neg,
             )
-            roi_feats = roi_align(feat, rois, self.roi_size, 1.0 / self.stride)
+            roi_feats = self._roi_align(feat, rois, self.roi_size, 1.0 / self.stride)
             cls_logits, reg_pred = self.head(roi_feats, train=True)
             # per-class reg: select the target class's head (fast.py:201)
             fg = jnp.clip(cls_t - 1, 0, self.num_classes - 1)
@@ -336,7 +344,7 @@ class FasterRCNN(nn.Module):
             }
 
         # eval: classify + regress ALL proposals
-        roi_feats = roi_align(feat, proposals, self.roi_size, 1.0 / self.stride)
+        roi_feats = self._roi_align(feat, proposals, self.roi_size, 1.0 / self.stride)
         cls_logits, reg_pred = self.head(roi_feats, train=False)
         boxes = decode_boxes(proposals[:, :, None, :], reg_pred, BOX_STD)
         boxes = clip_boxes(boxes, self.image_size, self.image_size)

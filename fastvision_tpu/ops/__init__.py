@@ -30,7 +30,7 @@ from .nms import (
 )
 from .anchors import COCO_ANCHORS, AnchorGenerator, kmeans_anchors
 from .box_coder import decode_boxes, encode_boxes
-from .roi_align import roi_align, roi_align_single
+from .roi_align import roi_align, roi_align_mxu, roi_align_single
 from .accuracy import Accuracy, accuracy
 from .map import CalculateMAP, MAPResult, MeanAveragePrecision, compute_ap, match_predictions
 from .one_hot import one_hot

@@ -83,3 +83,63 @@ def roi_align(
     """Batched RoI Align -> [B, N, output_size, output_size, C]."""
     fn = lambda f, b: roi_align_single(f, b, output_size, spatial_scale, sampling_ratio)
     return jax.vmap(fn)(features, boxes)
+
+
+# ---------------------------------------------------------------------------
+# MXU (matmul) formulation
+# ---------------------------------------------------------------------------
+def _interp_weights(coords: jnp.ndarray, extent: int) -> jnp.ndarray:
+    """Bilinear interpolation weight rows.
+
+    coords: [..., S] continuous positions (already clipped to [0, extent-1]).
+    Returns [..., S -> averaged, extent]: for each position the tent weights
+    relu(1 - |y - h|) over all integer rows h, averaged over the S samples.
+    Bilinear interpolation is linear in the feature rows, so this is EXACT.
+    """
+    grid = jnp.arange(extent, dtype=coords.dtype)
+    w = jnp.maximum(1.0 - jnp.abs(coords[..., None] - grid), 0.0)  # [..., S, extent]
+    return jnp.mean(w, axis=-2)  # average the sampling_ratio points
+
+
+def roi_align_mxu(
+    features: jnp.ndarray,  # [B, H, W, C]
+    boxes: jnp.ndarray,  # [B, N, 4] xyxy image coords
+    output_size: int = 7,
+    spatial_scale: float = 1.0 / 16,
+    sampling_ratio: int = 2,
+) -> jnp.ndarray:
+    """RoI Align as two dense contractions — the TPU-native formulation.
+
+    Interpolation + sample averaging are linear, so pooling factorizes into
+    per-proposal weight matrices Wy [N, o, H] and Wx [N, o, W]:
+
+        out[n, i, j, c] = sum_{h, w} Wy[n, i, h] * Wx[n, j, w] * feat[h, w, c]
+
+    i.e. one einsum over H then one over W — completely regular compute on
+    the MXU, no data-dependent gathers (SURVEY.md §2.6 item 2's "Pallas
+    kernel" need is met by making XLA's systolic array do it instead).
+    Sample coordinates are clipped into the feature map, which matches the
+    gather version for all in-bounds boxes (fringe rows of far out-of-bounds
+    boxes differ from torchvision's zero-extension).
+    """
+    bsz, h, w, c = features.shape
+    n = boxes.shape[1]
+    o, s = output_size, sampling_ratio
+    scaled = boxes * spatial_scale
+    x1, y1, x2, y2 = (scaled[..., i] for i in range(4))  # [B, N]
+    bw = jnp.maximum(x2 - x1, 1.0)
+    bh = jnp.maximum(y2 - y1, 1.0)
+
+    bin_idx = jnp.arange(o, dtype=features.dtype)
+    samp = (jnp.arange(s, dtype=features.dtype) + 0.5) / s
+    off = (bin_idx[:, None] + samp[None, :]).reshape(-1)  # [o*s] in bin units
+    ys = y1[..., None] + off * (bh / o)[..., None]  # [B, N, o*s]
+    xs = x1[..., None] + off * (bw / o)[..., None]
+    ys = jnp.clip(ys, 0, h - 1).reshape(bsz, n, o, s)
+    xs = jnp.clip(xs, 0, w - 1).reshape(bsz, n, o, s)
+
+    wy = _interp_weights(ys, h)  # [B, N, o, H]
+    wx = _interp_weights(xs, w)  # [B, N, o, W]
+    # contract H, then W — two MXU matmuls
+    tmp = jnp.einsum("bnih,bhwc->bniwc", wy, features)
+    return jnp.einsum("bnjw,bniwc->bnijc", wx, tmp)

@@ -183,3 +183,31 @@ def test_frcnn_eval_jits(small_frcnn):
 
     det = infer(variables, x)
     assert det.boxes.shape == (1, 5, 4)
+
+
+def test_roi_align_mxu_matches_gather(rng):
+    from fastvision_tpu.ops import roi_align_mxu
+
+    feat = jnp.asarray(rng.normal(0, 1, (2, 24, 20, 8)), jnp.float32)
+    boxes = jnp.asarray(
+        rng.uniform(0, 280, (2, 6, 2)).repeat(2, axis=-1)
+        + np.concatenate([np.zeros((2, 6, 2)), rng.uniform(20, 60, (2, 6, 2))], -1),
+        jnp.float32,
+    )  # in-bounds-ish boxes
+    a = np.asarray(roi_align(feat, boxes, 7, 1 / 16, 2))
+    b = np.asarray(roi_align_mxu(feat, boxes, 7, 1 / 16, 2))
+    np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-4)
+
+
+def test_roi_align_mxu_jit_grad(rng):
+    from fastvision_tpu.ops import roi_align_mxu
+
+    feat = jnp.asarray(rng.normal(0, 1, (1, 16, 16, 4)), jnp.float32)
+    boxes = jnp.asarray([[[10.0, 10.0, 120.0, 140.0]]])
+
+    @jax.jit
+    def loss(f):
+        return jnp.sum(roi_align_mxu(f, boxes) ** 2)
+
+    g = jax.grad(loss)(feat)
+    assert np.isfinite(np.asarray(g)).all()
