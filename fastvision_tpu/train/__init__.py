@@ -21,6 +21,7 @@ from .schedulers import (
     warmup_cosine_lr,
 )
 from .steps import TrainState, device_batch, make_eval_step, make_train_step
+from .ema import ema_update, make_ema_update
 from .fit import Fit, classification_evaluator, detection_evaluator
 from .frcnn_steps import (
     labels_to_pixel_xyxy,

@@ -22,6 +22,7 @@ import time
 from typing import Any, Callable, Iterator
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from ..core.checkpoint import CheckpointManager
@@ -59,6 +60,7 @@ class Fit:
         metric_mode: str = "min",  # best tracking on 'val_loss' by default
         metric_key: str = "val_loss",
         step_fn: Callable | None = None,  # prebuilt (state, batch, lr) -> (state, metrics)
+        ema_decay: float = 0.0,  # >0 enables EMA weights for eval/checkpoint
     ):
         self.step_fn = step_fn or make_train_step(apply_fn, loss_fn, tx)
         self.state = TrainState.create(variables, tx)
@@ -80,6 +82,17 @@ class Fit:
         self.metric_mode = metric_mode
         self.metric_key = metric_key
         self.global_step = 0
+        self.ema_decay = ema_decay
+        self.ema_params = None
+        self._ema_update = None
+        if ema_decay > 0:
+            from .ema import make_ema_update
+
+            self.ema_params = jax.tree.map(
+                lambda p: p.astype(jnp.float32) if hasattr(p, "astype") else p,
+                variables["params"],
+            )
+            self._ema_update = make_ema_update(ema_decay)
 
         self.ckpt = CheckpointManager(ckpt_dir) if ckpt_dir else None
         if resume and self.ckpt and self.ckpt.latest_step() is not None:
@@ -103,6 +116,8 @@ class Fit:
                 replicate(self.state.opt_state, mesh),
                 self.state.step,
             )
+            if self.ema_params is not None:
+                self.ema_params = replicate(self.ema_params, mesh)
 
     # ------------------------------------------------------------------
     def _lr(self) -> float:
@@ -118,6 +133,10 @@ class Fit:
         for batch in prefetch_to_device(loader.epoch(epoch), mesh=self.mesh):
             lr = lr_override if lr_override is not None else self._lr()
             self.state, metrics = self.step_fn(self.state, batch, lr)
+            if self._ema_update is not None:
+                self.ema_params = self._ema_update(
+                    self.ema_params, self.state.params, self.state.step
+                )
             self.global_step += 1
             n_images += batch["images"].shape[0]
             if self.global_step % self.log_every == 0:
@@ -135,10 +154,17 @@ class Fit:
         losses.append(float(metrics["loss"]))
         return float(np.mean(losses))
 
+    def eval_state(self) -> TrainState:
+        """State used for evaluation/serving: EMA weights when enabled."""
+        if self.ema_params is None:
+            return self.state
+        return TrainState(self.ema_params, self.state.batch_stats,
+                          self.state.opt_state, self.state.step)
+
     def _validate(self, epoch: int) -> dict:
         metrics: dict[str, Any] = {}
         if self.evaluator is not None and self.val_loader is not None:
-            metrics = dict(self.evaluator(self.state, self.val_loader))
+            metrics = dict(self.evaluator(self.eval_state(), self.val_loader))
         return metrics
 
     # ------------------------------------------------------------------
@@ -161,9 +187,12 @@ class Fit:
             if self.plateau is not None:
                 self.plateau.update(metric)
             if self.ckpt is not None and (self.save_every_epoch or epoch == self.epochs - 1):
+                save_params = (
+                    self.ema_params if self.ema_params is not None else self.state.params
+                )
                 self.ckpt.save(
                     epoch,
-                    jax.device_get(self.state.params),
+                    jax.device_get(save_params),
                     opt_state=jax.device_get(self.state.opt_state),
                     extra={"epoch": epoch, "global_step": self.global_step,
                            "train_loss": train_loss, **{k: float(v) for k, v in val_metrics.items()}},

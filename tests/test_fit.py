@@ -204,3 +204,23 @@ def test_classification_fit(tmp_path, rng):
     fit.run()
     acc = fit._validate(0)["accuracy"]
     assert acc >= 0.9, acc
+
+
+def test_ema_tracking(det_data, tmp_path):
+    from fastvision_tpu.train.ema import ema_update
+
+    # unit behavior: warmup decay means early EMA moves fast
+    ema = {"w": jnp.zeros(3)}
+    params = {"w": jnp.ones(3)}
+    # d = min(0.9999, 2/11): keep 2/11 of old EMA, take 9/11 of new params
+    out = ema_update(ema, params, step=1, decay=0.9999)
+    np.testing.assert_allclose(np.asarray(out["w"]), 9 / 11, rtol=1e-5)
+    # integration: Fit with ema_decay keeps a trailing copy used for eval
+    fit = make_yolo_fit(det_data, tmp_path, epochs=2, ema_decay=0.9)
+    fit.run()
+    raw = np.asarray(jax.tree.leaves(fit.state.params)[0])
+    ema = np.asarray(jax.tree.leaves(fit.ema_params)[0])
+    assert not np.allclose(raw, ema)  # trailing, not equal
+    # eval_state exposes the EMA weights
+    ev = np.asarray(jax.tree.leaves(fit.eval_state().params)[0])
+    np.testing.assert_array_equal(ev, ema)
