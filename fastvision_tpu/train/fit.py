@@ -88,9 +88,11 @@ class Fit:
         if ema_decay > 0:
             from .ema import make_ema_update
 
+            # copy=True: the raw params are donated into the first train
+            # step; an aliasing astype would leave the EMA tree pointing at
+            # deleted buffers
             self.ema_params = jax.tree.map(
-                lambda p: p.astype(jnp.float32) if hasattr(p, "astype") else p,
-                variables["params"],
+                lambda p: jnp.array(p, jnp.float32, copy=True), variables["params"]
             )
             self._ema_update = make_ema_update(ema_decay)
 
