@@ -138,6 +138,33 @@ class Detector:
             writer.release()
         return count
 
+    def predict_dataset(self, dataset) -> Iterator[tuple[dict, np.ndarray]]:
+        """Prefetch-overlapped inference over a DetectionDataset: the host
+        decodes/letterboxes batch k+1 in a background thread while the
+        device runs batch k (the jpeg->boxes north-star path).
+
+        Yields ({boxes, scores, classes} in original pixels, gt_labels)."""
+        from ..data.pipeline import DetectionLoader, prefetch_to_device
+
+        loader = DetectionLoader(
+            dataset, self.input_size, self.batch_size, max_boxes=1,
+            train=False, drop_last=False,
+        )
+        for batch in prefetch_to_device(loader.epoch(0), mesh=None):
+            det: Detections = jax.device_get(
+                self._infer(self.variables, batch["images"])
+            )
+            for i in range(batch["num_real"]):
+                meta = batch["meta"][i]
+                v = det.valid[i]
+                boxes = scale_coords(det.boxes[i][v], meta["scale"], meta["pad"],
+                                     meta["orig_hw"])
+                yield (
+                    {"boxes": boxes, "scores": det.scores[i][v],
+                     "classes": det.classes[i][v]},
+                    meta["gt_pixels"],
+                )
+
     # ------------------------------------------------------------------
     def evaluate(  # noqa: C901 — thin orchestration
         self,
@@ -151,19 +178,12 @@ class Detector:
         from ..ops.map import MeanAveragePrecision
 
         m = MeanAveragePrecision()
-        paths, gts = [], []
         n = len(dataset) if max_images is None else min(len(dataset), max_images)
+        ds = dataset if n == len(dataset) else _Subset(dataset, n)
         t0 = time.perf_counter()
-        for start in range(0, n, self.batch_size):
-            idxs = range(start, min(start + self.batch_size, n))
-            images, labels = [], []
-            for i in idxs:
-                img, lab, _ = dataset[i]
-                images.append(img)
-                labels.append(lab)
-            for res, lab in zip(self.predict_batch(images), labels):
-                m.update(res["boxes"], res["scores"], res["classes"],
-                         lab[:, 1:5], lab[:, 0])
+        for res, lab in self.predict_dataset(ds):
+            m.update(res["boxes"], res["scores"], res["classes"],
+                     lab[:, 1:5], lab[:, 0])
         dt = time.perf_counter() - t0
         r = m.compute()
         result = {
@@ -176,6 +196,17 @@ class Detector:
                 row = " ".join(f"{v:.4f}" for v in r.map_per_iou)
                 f.write(f"# {config_note}\n{header} | mAP@0.5:0.95\n{row} | {r.map:.4f}\n")
         return result
+
+
+class _Subset:
+    def __init__(self, ds, n):
+        self.ds, self.n = ds, n
+
+    def __len__(self):
+        return self.n
+
+    def __getitem__(self, i):
+        return self.ds[i]
 
 
 class VideoClassifier:
