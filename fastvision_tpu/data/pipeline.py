@@ -70,6 +70,9 @@ class DetectionLoader:
         # default native backend; flip on where cv2 is unavailable or on
         # many-core hosts where the kernel's batch threading wins.
         use_native: bool = False,
+        # decode/augment thread pool (cv2 releases the GIL). 0/1 = serial;
+        # on multi-core TPU-VM hosts set ~ cores-2.
+        num_workers: int = 0,
     ):
         self.ds = dataset
         self.input_size = input_size
@@ -86,13 +89,22 @@ class DetectionLoader:
 
             use_native = native.available()
         self.use_native = use_native
+        self.num_workers = num_workers
+        self._pool = None
+        if num_workers and num_workers > 1:
+            from concurrent.futures import ThreadPoolExecutor
+
+            self._pool = ThreadPoolExecutor(max_workers=num_workers)
 
     def __len__(self) -> int:
         n = len(self.ds)
         return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
 
     def _load_raw(self, idx: int, rng: np.random.Generator):
-        """Decode + mosaic + augment one sample; labels stay pixel xyxy."""
+        """Decode + mosaic + augment one sample; labels stay pixel xyxy.
+
+        `rng` is per-sample (seeded from (seed, epoch, position)) so results
+        are deterministic regardless of worker threading."""
         image, labels, sid = self.ds[idx]
         if self.train and self.mosaic_prob > 0 and rng.uniform() < self.mosaic_prob:
             others = rng.integers(0, len(self.ds), 3)
@@ -119,9 +131,19 @@ class DetectionLoader:
         rng = np.random.default_rng((self.seed, epoch_idx))
         order = rng.permutation(len(self.ds)) if self.train else np.arange(len(self.ds))
         nb = len(self)
+
+        def load(pos_idx):
+            pos, i = pos_idx
+            sample_rng = np.random.default_rng((self.seed, epoch_idx, pos))
+            return self._load_raw(int(i), sample_rng)
+
         for b in range(nb):
             idxs = order[b * self.batch_size : (b + 1) * self.batch_size]
-            raws = [self._load_raw(int(i), rng) for i in idxs]
+            work = list(enumerate(idxs, start=b * self.batch_size))
+            if self._pool is not None:
+                raws = list(self._pool.map(load, work))
+            else:
+                raws = [load(w) for w in work]
             real = len(raws)
             while len(raws) < self.batch_size:  # ragged last eval batch
                 raws.append(raws[-1])

@@ -194,3 +194,16 @@ def test_video_clip_from_array(rng):
     frames = rng.integers(0, 255, (40, 8, 8, 3)).astype(np.uint8)
     clip = sample_clip_from_array(frames, 16, "average", np.random.default_rng(0))
     assert clip.shape == (16, 8, 8, 3)
+
+
+def test_loader_workers_deterministic_vs_serial(toy_dataset):
+    """Threaded decode must produce byte-identical batches to serial."""
+    ds = DetectionDataset(toy_dataset, "train")
+    mk = lambda nw: DetectionLoader(ds, input_size=64, batch_size=4, train=True,
+                                    mosaic_prob=0.5, seed=7, num_workers=nw)
+    serial = list(mk(0).epoch(2))
+    threaded = list(mk(4).epoch(2))
+    assert len(serial) == len(threaded)
+    for a, b in zip(serial, threaded):
+        np.testing.assert_array_equal(a["images"], b["images"])
+        np.testing.assert_array_equal(a["labels"], b["labels"])
