@@ -34,6 +34,7 @@ def build_optimizer(
     betas: tuple[float, float] = (0.937, 0.999),
     grad_clip_norm: float = 0.0,
     trainable: Any = None,  # bool pytree from core.checkpoint.trainable_mask
+    accum_steps: int = 1,  # gradient accumulation (large effective batch)
 ) -> optax.GradientTransformation:
     """SGD (huaweiShip recipe, train.py:70-87) or Adam (yolov3_u recipe,
     train.py:68 betas=(0.937, 0.999)), with masked decoupled weight decay,
@@ -58,6 +59,8 @@ def build_optimizer(
             {"train": tx, "freeze": optax.set_to_zero()},
             jax.tree.map(lambda t: "train" if t else "freeze", trainable),
         )
+    if accum_steps > 1:
+        tx = optax.MultiSteps(tx, every_k_schedule=accum_steps)
     return tx
 
 

@@ -138,3 +138,39 @@ def test_grad_clip_bounds_grad_norm(rng):
     p_after = jax.tree.leaves(state.params)[0]
     delta = float(jnp.max(jnp.abs(p_after - p_before)))
     assert delta <= 1.0 + 1e-3
+
+
+def test_gradient_accumulation(rng):
+    """accum_steps=2: params update only every 2nd step; one accumulated
+    update over two half-batches == one update over the full batch."""
+    model, _, _ = small_classifier_setup()
+    x = jnp.asarray(rng.normal(0, 1, (8, 32, 32, 3)), jnp.float32)
+    y = jnp.asarray(rng.integers(0, 4, 8), jnp.int32)
+    variables = model.init(jax.random.key(0), x, train=True)
+
+    def loss_fn(logits, batch):
+        return cross_entropy(logits, batch["labels"]), {}
+
+    # full batch, plain sgd (no decay/momentum for exact comparison)
+    tx_full = build_optimizer("sgd", variables["params"], weight_decay=0.0,
+                              momentum=0.0, nesterov=False)
+    step_full = make_train_step(model.apply, loss_fn, tx_full, donate=False)
+    s_full = TrainState.create(variables, tx_full)
+    s_full, _ = step_full(s_full, {"images": x, "labels": y}, 0.1)
+
+    tx_acc = build_optimizer("sgd", variables["params"], weight_decay=0.0,
+                             momentum=0.0, nesterov=False, accum_steps=2)
+    step_acc = make_train_step(model.apply, loss_fn, tx_acc, donate=False)
+    s_acc = TrainState.create(variables, tx_acc)
+    p0 = np.asarray(jax.tree.leaves(variables["params"])[0]).copy()
+    s_acc, _ = step_acc(s_acc, {"images": x[:4], "labels": y[:4]}, 0.1)
+    # after the first half-batch: no visible update yet
+    np.testing.assert_array_equal(np.asarray(jax.tree.leaves(s_acc.params)[0]), p0)
+    s_acc, _ = step_acc(s_acc, {"images": x[4:], "labels": y[4:]}, 0.1)
+
+    # BN stats differ (per-half vs full), so compare only the head kernel
+    # whose grads don't flow through BN statistics... compare loosely instead:
+    pf = np.asarray(jax.tree.leaves(s_full.params)[0])
+    pa = np.asarray(jax.tree.leaves(s_acc.params)[0])
+    assert not np.array_equal(pa, p0)  # update applied after 2nd microbatch
+    np.testing.assert_allclose(pa, pf, rtol=0.2, atol=1e-3)  # same direction/scale
