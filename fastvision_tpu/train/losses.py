@@ -124,7 +124,8 @@ def _masked_mean(x, mask):
     return jnp.sum(x * mask) / (jnp.sum(mask) + _EPS)
 
 
-def _dense_targets(labels, anchors_feat, grid_hw, ratio_thres=None):
+def _dense_targets(labels, anchors_feat, grid_hw, ratio_thres=None,
+                   neighbor_cells=False):
     """Shared target assignment for one level, fully vectorized.
 
     Args:
@@ -134,6 +135,10 @@ def _dense_targets(labels, anchors_feat, grid_hw, ratio_thres=None):
       ratio_thres: if set, match every anchor with wh-ratio < thres
         (lib loss, yolov3_loss.py:98-99); if None, match only the best
         anchor per GT by wh-IoU (demo lossv3 :51-53).
+      neighbor_cells: v5-style expanded assignment — each GT also trains
+        the two nearest neighbor cells (up to 3x positives; offset targets
+        in (-0.5, 1.5), requires the v5 decode). The reference assigns the
+        center cell only; this is the beat-the-baseline option.
 
     Returns dict of dense [B, H, W, A, ...] targets + positive mask.
     """
@@ -153,31 +158,69 @@ def _dense_targets(labels, anchors_feat, grid_hw, ratio_thres=None):
         match = one_hot(jnp.argmax(sim, axis=-1), a).astype(bool)
     match = match & valid[..., None]
 
-    gx = jnp.clip(jnp.floor(txy[..., 0]), 0, w - 1).astype(jnp.int32)  # [B, M]
-    gy = jnp.clip(jnp.floor(txy[..., 1]), 0, h - 1).astype(jnp.int32)
-    offset_xy = txy - jnp.stack([gx, gy], axis=-1).astype(labels.dtype)
+    # candidate cells: center (+ 2 nearest neighbors when enabled)
+    fx = txy[..., 0] - jnp.floor(txy[..., 0])  # [B, M]
+    fy = txy[..., 1] - jnp.floor(txy[..., 1])
+    if neighbor_cells:
+        # ultralytics build_targets: west/east by x-fraction, north/south by y
+        cand_dx = jnp.stack([jnp.zeros_like(fx), -jnp.ones_like(fx),
+                             jnp.ones_like(fx), jnp.zeros_like(fx),
+                             jnp.zeros_like(fx)], axis=-1)  # [B, M, 5]
+        cand_dy = jnp.stack([jnp.zeros_like(fy), jnp.zeros_like(fy),
+                             jnp.zeros_like(fy), -jnp.ones_like(fy),
+                             jnp.ones_like(fy)], axis=-1)
+        in_x = txy[..., 0]
+        in_y = txy[..., 1]
+        cand_ok = jnp.stack([
+            jnp.ones_like(fx, bool),
+            (fx < 0.5) & (in_x > 1.0),            # west
+            (fx > 0.5) & (in_x < w - 1.0),        # east
+            (fy < 0.5) & (in_y > 1.0),            # north
+            (fy > 0.5) & (in_y < h - 1.0),        # south
+        ], axis=-1)  # [B, M, 5]
+    else:
+        cand_dx = jnp.zeros_like(fx)[..., None]
+        cand_dy = jnp.zeros_like(fy)[..., None]
+        cand_ok = jnp.ones_like(fx, bool)[..., None]
+    c = cand_ok.shape[-1]
 
-    # flat scatter indices per (b, m, a); invalid -> OOB (dropped by scatter)
-    bidx = jnp.arange(b, dtype=jnp.int32)[:, None, None]
-    aidx = jnp.arange(a, dtype=jnp.int32)[None, None, :]
-    flat = ((bidx * h + gy[..., None]) * w + gx[..., None]) * a + aidx  # [B, M, A]
+    gx0 = jnp.floor(txy[..., 0])  # [B, M]
+    gy0 = jnp.floor(txy[..., 1])
+    gx = jnp.clip(gx0[..., None] + cand_dx, 0, w - 1).astype(jnp.int32)  # [B, M, C]
+    gy = jnp.clip(gy0[..., None] + cand_dy, 0, h - 1).astype(jnp.int32)
+    # offset target relative to the candidate cell: in (-0.5, 1.5) for neighbors
+    off_x = txy[..., 0:1] - gx.astype(labels.dtype)  # [B, M, C]
+    off_y = txy[..., 1:2] - gy.astype(labels.dtype)
+
+    # expand (match [B,M,A]) x (cand [B,M,C]) -> [B, M, A, C]
+    match_ac = match[..., :, None] & cand_ok[..., None, :]
+    bidx = jnp.arange(b, dtype=jnp.int32)[:, None, None, None]
+    aidx = jnp.arange(a, dtype=jnp.int32)[None, None, :, None]
+    flat = ((bidx * h + gy[:, :, None, :]) * w + gx[:, :, None, :]) * a + aidx
     size = b * h * w * a
-    flat = jnp.where(match, flat, size)  # OOB sentinel
+    flat = jnp.where(match_ac, flat, size)  # OOB sentinel (dropped)
 
     def scatter(values, depth):
-        """values [B, M, A, depth] -> dense [B*H*W*A, depth]."""
+        """values [B, M, A, C, depth] -> dense [B*H*W*A, depth]."""
         out = jnp.zeros((size, depth), values.dtype)
         return out.at[flat.reshape(-1)].set(values.reshape(-1, depth), mode="drop")
 
-    tile = lambda x: jnp.broadcast_to(x[:, :, None, :], (b, m, a, x.shape[-1]))
+    def tile_mc(x):  # [B, M, C, d] -> [B, M, A, C, d]
+        return jnp.broadcast_to(x[:, :, None], (b, m, a, c, x.shape[-1]))
+
+    def tile_m(x):  # [B, M, d] -> [B, M, A, C, d]
+        return jnp.broadcast_to(x[:, :, None, None], (b, m, a, c, x.shape[-1]))
+
+    off = jnp.stack([off_x, off_y], axis=-1)  # [B, M, C, 2]
     t_box = scatter(
-        jnp.concatenate([tile(offset_xy), tile(twh)], axis=-1), 4
+        jnp.concatenate([tile_mc(off), tile_m(twh)], axis=-1), 4
     ).reshape(b, h, w, a, 4)
-    t_cls = scatter(cls_idx[..., None, None].astype(jnp.float32) * jnp.ones((b, m, a, 1)), 1)
-    t_cls = t_cls.reshape(b, h, w, a).astype(jnp.int32)
-    pos = scatter(jnp.ones((b, m, a, 1), jnp.float32), 1).reshape(b, h, w, a)
+    t_cls = scatter(
+        jnp.broadcast_to(cls_idx[:, :, None, None, None].astype(jnp.float32),
+                         (b, m, a, c, 1)), 1
+    ).reshape(b, h, w, a).astype(jnp.int32)
+    pos = scatter(jnp.ones((b, m, a, c, 1), jnp.float32), 1).reshape(b, h, w, a)
     pos = jnp.minimum(pos, 1.0)  # collisions: clamp
-    # anchor wh per location is implied by the A axis; expose matched anchor
     t_anchor = jnp.broadcast_to(anchors_feat[None, None, None], (b, h, w, a, 2))
     return {
         "pos": pos,
@@ -211,6 +254,7 @@ class YOLOv3Loss:
         ratio_thres: float = 4.0,
         decode_style: str = "v5",
         level_balance: Sequence[float] | None = None,
+        neighbor_cells: bool = False,  # v5 expanded assignment (~3x positives)
     ):
         self.anchors = jnp.asarray(anchors, jnp.float32)
         self.strides = tuple(strides)
@@ -221,6 +265,7 @@ class YOLOv3Loss:
         self.ratio_thres = ratio_thres
         self.decode_style = decode_style
         self.level_balance = tuple(level_balance) if level_balance else (1.0,) * len(strides)
+        self.neighbor_cells = neighbor_cells
 
     def _decode_cell(self, head, anchors_feat):
         """Raw head [..., 4] -> (xy in cell frame, wh in feature units)."""
@@ -240,7 +285,9 @@ class YOLOv3Loss:
         for li, head in enumerate(heads):
             _, h, w, a, _ = head.shape
             anchors_feat = self.anchors[li] / self.strides[li]
-            t = _dense_targets(labels, anchors_feat, (h, w), ratio_thres=self.ratio_thres)
+            t = _dense_targets(labels, anchors_feat, (h, w),
+                               ratio_thres=self.ratio_thres,
+                               neighbor_cells=self.neighbor_cells)
             pos = t["pos"]
 
             pxy, pwh = self._decode_cell(head, t["anchor"])

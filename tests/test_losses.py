@@ -167,3 +167,33 @@ def test_yolo_loss_v3_decode_style(rng):
     loss = YOLOv3Loss(ANCHORS, num_classes=20, decode_style="v3")
     out = loss(make_heads(rng=rng), make_labels())
     assert np.isfinite(float(out.total))
+
+
+def test_neighbor_cells_expand_positives():
+    from fastvision_tpu.train.losses import _dense_targets
+
+    anchors_feat = jnp.asarray([[3.0, 4.0]])
+    # one box centered at (4.3, 4.7) in an 8x8 grid -> neighbors west + south
+    labels = jnp.asarray([[[0, 4.3 / 8, 4.7 / 8, 3.0 / 8, 4.0 / 8]]])
+    t0 = _dense_targets(labels, anchors_feat, (8, 8), ratio_thres=4.0,
+                        neighbor_cells=False)
+    t1 = _dense_targets(labels, anchors_feat, (8, 8), ratio_thres=4.0,
+                        neighbor_cells=True)
+    assert float(t0["pos"].sum()) == 1.0
+    assert float(t1["pos"].sum()) == 3.0  # center + west + south
+    pos = np.asarray(t1["pos"][0, :, :, 0])
+    assert pos[4, 4] == 1 and pos[4, 3] == 1 and pos[5, 4] == 1
+    # neighbor offsets are outside [0,1): west cell sees offset x = 1.3
+    box = np.asarray(t1["box"][0])
+    np.testing.assert_allclose(box[4, 3, 0, 0], 1.3, rtol=1e-5)
+    np.testing.assert_allclose(box[5, 4, 0, 1], -0.3, rtol=1e-4, atol=1e-5)
+
+
+def test_yolo_loss_neighbor_cells_trains(rng):
+    loss = YOLOv3Loss(ANCHORS, num_classes=20, neighbor_cells=True)
+    heads = make_heads(rng=rng)
+    out = loss(heads, make_labels())
+    assert np.isfinite(float(out.total))
+
+    g = jax.grad(lambda hs: loss(hs, make_labels()).total)(heads)
+    assert np.isfinite(sum(float(jnp.abs(x).sum()) for x in g))
