@@ -107,7 +107,8 @@ def cmd_train(args, overrides):
         train=True, seed=cfg.train.seed,
     )
 
-    loss_obj = YOLOv3Loss(anchors, num_classes=cfg.model.num_classes)
+    loss_obj = YOLOv3Loss(anchors, num_classes=cfg.model.num_classes,
+                          neighbor_cells=cfg.train.neighbor_cells)
 
     def apply_fn(v, images, **kw):
         return model.apply(v, normalize_images(images, model.dtype), **kw)
@@ -125,7 +126,7 @@ def cmd_train(args, overrides):
         cfg.train.optimizer, variables["params"],
         weight_decay=cfg.train.weight_decay, momentum=cfg.train.momentum,
         nesterov=cfg.train.nesterov, grad_clip_norm=cfg.train.grad_clip_norm,
-        trainable=trainable,
+        trainable=trainable, accum_steps=cfg.train.accum_steps,
     )
 
     def postprocess(heads, batch):
@@ -157,6 +158,7 @@ def cmd_train(args, overrides):
         resume=args.resume,
         metric_key="map50",
         metric_mode="max",
+        ema_decay=cfg.train.ema_decay,
     )
     fit.run()
 
