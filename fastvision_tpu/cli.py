@@ -17,9 +17,6 @@ categories).
 from __future__ import annotations
 
 import argparse
-import sys
-
-import numpy as np
 
 
 def _load_config(args, overrides):

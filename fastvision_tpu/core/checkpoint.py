@@ -18,7 +18,7 @@ from __future__ import annotations
 import datetime
 import json
 import os
-from typing import Any, Callable
+from typing import Any
 
 import jax
 import numpy as np

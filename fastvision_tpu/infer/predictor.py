@@ -15,7 +15,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..data.dataset import IMG_EXTS, imread_rgb
+from ..data.dataset import IMG_EXTS
 from ..data.pipeline import normalize_images
 from ..ops.nms import Detections, batched_non_max_suppression
 from .decode import decode_predictions

@@ -13,7 +13,6 @@ deployment (POST /predict with an image body or multipart file).
 """
 from __future__ import annotations
 
-import io
 import json
 from typing import Sequence
 

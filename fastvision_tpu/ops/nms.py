@@ -49,11 +49,8 @@ def suppression_mask(boxes: jnp.ndarray, scores: jnp.ndarray, iou_thres: float) 
     """
     k = boxes.shape[0]
     iou = box_iou_matrix(boxes, boxes)  # [K, K]
-    # overlap[i, j]: candidate j would be suppressed by i if i is kept.
+    # overlap[i, j]: candidate j would be suppressed by i if i is kept
     overlap = iou > iou_thres
-    # only earlier (higher-score) boxes can suppress later ones
-    tri = jnp.tril(jnp.ones((k, k), dtype=bool), k=-1)  # [i, j]: j < i ... careful below
-    del tri
 
     def body(i, state):
         keep, suppressed = state

@@ -17,7 +17,6 @@ caller-supplied per-shard function.
 """
 from __future__ import annotations
 
-from functools import partial
 from typing import Callable
 
 import jax

@@ -19,7 +19,7 @@ the optimizer state too (SURVEY.md §5).
 from __future__ import annotations
 
 import time
-from typing import Any, Callable, Iterator
+from typing import Any, Callable
 
 import jax
 import jax.numpy as jnp

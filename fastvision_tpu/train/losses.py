@@ -22,11 +22,12 @@ datasets/detection_dataloader.py:98). Target building is dense scatter into
 """
 from __future__ import annotations
 
-from typing import Any, NamedTuple, Sequence
+from typing import NamedTuple, Sequence
 
 import jax
 import jax.numpy as jnp
 
+from ..ops.grid import grid as make_grid
 from ..ops.iou import box_iou, box_iou_matrix, wh_iou_matrix
 from ..ops.one_hot import one_hot
 
@@ -357,8 +358,6 @@ class YOLOv3LossPerCell:
             pos = t["pos"]
 
             # decoded predictions in feature units (v3 decode, lossv3 :80-84)
-            from ..ops.grid import grid as make_grid
-
             offsets = make_grid(h, w, "xy", head.dtype)[None, :, :, None, :]
             pxy_cell = jax.nn.sigmoid(head[..., 0:2])
             pwh = jnp.exp(jnp.clip(head[..., 2:4], -9.0, 9.0)) * t["anchor"]
