@@ -46,7 +46,9 @@ class Detector:
         class_names: Sequence[str] | None = None,
         normalize: str = "scale",  # 'scale' (/255) or 'imagenet'
         dtype=jnp.bfloat16,
+        mesh=None,  # multi-chip serving: batch sharded over the 'data' axis
     ):
+        self.mesh = mesh
         self.variables = variables
         self.anchors = jnp.asarray(anchors, jnp.float32)
         self.input_size = input_size
@@ -66,6 +68,13 @@ class Detector:
 
         self._infer = jax.jit(_infer)
 
+    def _to_device(self, batch: np.ndarray):
+        if self.mesh is None:
+            return jnp.asarray(batch)
+        from ..core.mesh import shard_batch
+
+        return shard_batch({"images": batch}, self.mesh)["images"]
+
     # ------------------------------------------------------------------
     def predict_batch(self, images: Sequence[np.ndarray | str]) -> list[dict]:
         """-> list of {boxes, scores, classes} in ORIGINAL image pixels."""
@@ -73,7 +82,8 @@ class Detector:
         n = len(images)
         if n < self.batch_size:  # pad to the compiled batch size
             batch = np.concatenate([batch, np.repeat(batch[-1:], self.batch_size - n, 0)])
-        det: Detections = jax.device_get(self._infer(self.variables, jnp.asarray(batch)))
+        batch = self._to_device(batch)
+        det: Detections = jax.device_get(self._infer(self.variables, batch))
         out = []
         for i in range(n):
             v = det.valid[i]

@@ -154,3 +154,39 @@ def test_draw_detections(rng):
     assert not np.array_equal(out, img)
     assert get_color(0) != get_color(1)
     assert get_color(25) == get_color(5)  # palette wraps
+
+
+def test_detector_on_mesh(mesh, rng):
+    """Multi-chip serving: Detector with batch sharded over the data axis."""
+    from fastvision_tpu.models.detection import YOLOv3
+
+    model = YOLOv3(num_classes=3)
+    variables = model.init(jax.random.key(0), jnp.zeros((1, 96, 96, 3)), train=True)
+    det = Detector(model, variables, ANCHORS, input_size=96, batch_size=8,
+                   conf_thres=0.3, dtype=jnp.float32, mesh=mesh)
+    imgs = [rng.integers(0, 255, (100, 80, 3)).astype(np.uint8) for _ in range(8)]
+    out = det.predict_batch(imgs)
+    assert len(out) == 8
+    for r in out:
+        assert set(r) == {"boxes", "scores", "classes"}
+
+
+def test_cli_anchors_smoke(tmp_path, rng):
+    import cv2
+    import yaml
+
+    from fastvision_tpu.cli import main
+
+    root = tmp_path / "ds"
+    os.makedirs(root / "train" / "images")
+    os.makedirs(root / "train" / "labels")
+    for i in range(12):
+        cv2.imwrite(str(root / "train" / "images" / f"i{i}.jpg"),
+                    np.zeros((50, 50, 3), np.uint8))
+        w, h = rng.integers(10, 40, 2)
+        (root / "train" / "labels" / f"i{i}.txt").write_text(f"0 1 1 {1+w} {1+h}\n")
+    cfg = tmp_path / "c.yaml"
+    cfg.write_text(yaml.safe_dump({"data": {"data_root": str(root)}}))
+    main(["anchors", "--config", str(cfg), "-k", "3",
+          "--cache-dir", str(tmp_path / "cache")])
+    assert (tmp_path / "cache" / "anchors.json").exists()
