@@ -184,3 +184,56 @@ def apply_import(variables: dict, imported: dict[str, dict], verbose: bool = Tru
             variables["batch_stats"], imported["batch_stats"], verbose
         )
     return new_vars
+
+
+# ---------------------------------------------------------------------------
+# the reference's OWN classification naming (classfication/models/*.py)
+# ---------------------------------------------------------------------------
+def resnet_from_reference(torch_state: dict[str, np.ndarray]) -> dict[str, dict]:
+    """Reference resnet naming (classfication/models/resnet.py: stem
+    'conv1.0/conv1.1' Sequential, stages 'res2..res5') -> our naming, by
+    renaming to the torchvision scheme and reusing that mapper."""
+    renamed = {}
+    for k, v in torch_state.items():
+        if k.startswith("conv1.0."):
+            renamed["conv1." + k[len("conv1.0."):]] = v
+        elif k.startswith("conv1.1."):
+            renamed["bn1." + k[len("conv1.1."):]] = v
+        elif k.startswith("res"):
+            stage = int(k[3])  # res2 -> layer1
+            renamed[f"layer{stage - 1}." + k.split(".", 1)[1]] = v
+        else:
+            renamed[k] = v
+    return resnet_from_torchvision(renamed)
+
+
+def vgg_from_reference(
+    torch_state: dict[str, np.ndarray], batch_norm: bool = False
+) -> dict[str, dict]:
+    """Reference VGG naming (classfication/models/vgg.py: per-stage
+    'vgg1..vgg5' Sequentials + torchvision-style 'classifier.{0,3,6}') ->
+    our conv{i}/fc{1..3} naming. Convs are matched in order by rank-4
+    weights within each stage."""
+    out = {"params": {}, "batch_stats": {}}
+    conv_idx = 0
+    for stage in range(1, 6):
+        n = 0
+        while True:
+            key = f"vgg{stage}.{n}.weight"
+            if key not in torch_state:
+                if n > 40:
+                    break
+                n += 1
+                continue
+            if torch_state[key].ndim == 4:
+                _conv_bias(out, torch_state, f"vgg{stage}.{n}", f"conv{conv_idx}/conv")
+                if batch_norm:
+                    _bn(out, torch_state, f"vgg{stage}.{n + 1}",
+                        f"conv{conv_idx}/bn/bn")
+                    n += 1
+                conv_idx += 1
+            n += 1
+    _linear(out, torch_state, "classifier.0", "fc1")
+    _linear(out, torch_state, "classifier.3", "fc2")
+    _linear(out, torch_state, "classifier.6", "fc3")
+    return out
