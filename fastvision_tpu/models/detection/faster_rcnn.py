@@ -379,7 +379,7 @@ def fastrcnn_postprocess(
         off_boxes = top_b + (top_c.astype(top_b.dtype) * CLASS_OFFSET)[:, None]
         keep = suppression_mask(off_boxes, top_s, nms_thresh)
         final_s = jnp.where(keep, top_s, -jnp.inf)
-        out_s, out_i = jax.lax.top_k(final_s, max_det)
+        out_s, out_i = jax.lax.top_k(final_s, min(max_det, k))
         valid = out_s > -jnp.inf
         return Detections(
             boxes=jnp.where(valid[:, None], top_b[out_i], 0.0),
