@@ -306,7 +306,10 @@ class YOLOv3Loss:
 
             cls_target = one_hot(t["cls"], self.num_classes)
             cls_bce = binary_cross_entropy(head[..., 5:], cls_target, reduction="none")
-            loss_cls += _masked_mean(jnp.sum(cls_bce, axis=-1), pos)
+            # per-ELEMENT mean over positives (reference BiCrossEntropyLoss
+            # flattens to [-1, 1] before the mean, classification_loss.py:36;
+            # ultralytics BCEWithLogitsLoss default does the same)
+            loss_cls += _masked_mean(jnp.mean(cls_bce, axis=-1), pos)
 
         total = (
             self.ratio_box * loss_box

@@ -1,0 +1,83 @@
+"""Training-loss parity: execute the REFERENCE Yolov3Loss (torch) on random
+inputs and require our YOLOv3Loss (decode_style='v3') to match numerically.
+
+The reference targets torch 1.10; a one-line int() shim is applied to the
+loaded module at runtime so its clamp_ call runs under torch 2.x (no
+reference code is stored here — it is recompiled from /root/reference).
+"""
+import importlib.util
+import inspect
+import sys
+import types
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+
+@pytest.fixture(scope="module")
+def ref_loss_cls():
+    tv = types.ModuleType("torchvision")
+    tv.ops = types.SimpleNamespace(nms=None, roi_align=None)
+    sys.modules.setdefault("torchvision", tv)
+    if "fastvision" not in sys.modules:
+        spec = importlib.util.spec_from_file_location(
+            "fastvision", "/root/reference/__init__.py",
+            submodule_search_locations=["/root/reference"],
+        )
+        mod = importlib.util.module_from_spec(spec)
+        sys.modules["fastvision"] = mod
+        spec.loader.exec_module(mod)
+    import fastvision.loss.yolov3_loss as ref_mod
+
+    src = inspect.getsource(ref_mod)
+    src = src.replace(".clamp_(0, feature_whwh[0] - 1)",
+                      ".clamp_(0, int(feature_whwh[0]) - 1)")
+    src = src.replace(".clamp_(0, feature_whwh[1] - 1)",
+                      ".clamp_(0, int(feature_whwh[1]) - 1)")
+    ns = dict(ref_mod.__dict__)
+    exec(compile(src, ref_mod.__file__, "exec"), ns)
+    return ns["Yolov3Loss"]
+
+
+def test_yolov3_loss_matches_reference(ref_loss_cls):
+    import jax.numpy as jnp
+
+    from fastvision_tpu.train import YOLOv3Loss
+
+    rng = np.random.default_rng(0)
+    bsz, c = 2, 4
+    anchors_px = np.asarray(
+        [[[116, 90], [156, 198], [373, 326]],
+         [[30, 61], [62, 45], [59, 119]],
+         [[10, 13], [16, 30], [33, 23]]], np.float32)
+    strides = [32, 16, 8]
+    shapes = [(bsz, 3, 4, 4, 5 + c), (bsz, 3, 8, 8, 5 + c), (bsz, 3, 16, 16, 5 + c)]
+    heads_t = [rng.normal(0, 0.5, s).astype(np.float32) for s in shapes]
+    gt = np.array([
+        [0, 1, 0.5, 0.5, 0.30, 0.40],
+        [0, 2, 0.25, 0.25, 0.10, 0.15],
+        [1, 0, 0.7, 0.6, 0.55, 0.35],
+    ], np.float32)
+
+    class FakeModel:
+        anchors_per_level = [torch.tensor(a) for a in anchors_px]
+        backbone_strides_per_level = strides
+
+    ref = ref_loss_cls(FakeModel(), iou_negative_thres=0.5,
+                       ratio_box=0.05, ratio_conf=1.0, ratio_cls=0.5)
+    want = float(ref([torch.tensor(h) for h in heads_t], torch.tensor(gt)))
+
+    heads_j = [jnp.asarray(h.transpose(0, 2, 3, 1, 4)) for h in heads_t]
+    labels = np.full((bsz, 4, 5), -1, np.float32)
+    labels[0, 0] = [1, 0.5, 0.5, 0.30, 0.40]
+    labels[0, 1] = [2, 0.25, 0.25, 0.10, 0.15]
+    labels[1, 0] = [0, 0.7, 0.6, 0.55, 0.35]
+    ours = YOLOv3Loss(jnp.asarray(anchors_px), strides=strides, num_classes=c,
+                      ratio_box=0.05, ratio_conf=1.0, ratio_cls=0.5,
+                      decode_style="v3")
+    got = float(ours(heads_j, jnp.asarray(labels)).total)
+    # residual ~0.2%: the reference's eps-form BCE (log(p + 1e-8)) vs our
+    # exact logits form
+    assert abs(got - want) / abs(want) < 0.01, (got, want)
