@@ -339,8 +339,8 @@ class YOLOv3LossPerCell:
         num_classes: int = 80,
         box_loss: str = "bce_mse",  # 'bce_mse' (v1) | 'ciou' (huaweiShip)
         ignore_iou_thres: float = 0.5,
-        lambda_xy: float = 2.0,
-        lambda_wh: float = 2.0,
+        lambda_xy: float = 2.0,  # lossv3.py:111 weights only the xy term
+        lambda_wh: float = 1.0,
         lambda_conf: float = 1.0,
         lambda_cls: float = 1.0,
     ):
@@ -367,17 +367,19 @@ class YOLOv3LossPerCell:
             pred_xywh = jnp.concatenate([pxy_cell + offsets, pwh], axis=-1)
 
             if self.box_loss == "bce_mse":
+                # per-ELEMENT means over positives (F.binary_cross_entropy_
+                # with_logits / F.mse_loss defaults, lossv3.py:74-79)
                 xy_bce = binary_cross_entropy(
                     head[..., 0:2],
                     t["box"][..., 0:2],
                     reduction="none",
                 )
-                loss_box += lam_xy * _masked_mean(jnp.sum(xy_bce, axis=-1), pos)
+                loss_box += lam_xy * _masked_mean(jnp.mean(xy_bce, axis=-1), pos)
                 t_wh_raw = jnp.log(
                     jnp.clip(t["box"][..., 2:4], _EPS, None) / t["anchor"]
                 ) * pos[..., None]
                 wh_mse = (head[..., 2:4] - t_wh_raw) ** 2
-                loss_box += lam_wh * _masked_mean(jnp.sum(wh_mse, axis=-1), pos)
+                loss_box += lam_wh * _masked_mean(jnp.mean(wh_mse, axis=-1), pos)
             else:  # 'ciou'
                 t_xywh_abs = jnp.concatenate(
                     [t["box"][..., 0:2] + offsets * pos[..., None], t["box"][..., 2:4]],
@@ -403,7 +405,7 @@ class YOLOv3LossPerCell:
             cls_bce = binary_cross_entropy(
                 head[..., 5:], one_hot(t["cls"], self.num_classes), reduction="none"
             )
-            loss_cls += lam_cls * _masked_mean(jnp.sum(cls_bce, axis=-1), pos)
+            loss_cls += lam_cls * _masked_mean(jnp.mean(cls_bce, axis=-1), pos)
 
         total = loss_box + loss_obj + loss_cls
         return YoloLossOutput(total, loss_box, loss_obj, loss_cls)

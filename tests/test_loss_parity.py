@@ -81,3 +81,54 @@ def test_yolov3_loss_matches_reference(ref_loss_cls):
     # residual ~0.2%: the reference's eps-form BCE (log(p + 1e-8)) vs our
     # exact logits form
     assert abs(got - want) / abs(want) < 0.01, (got, want)
+
+
+def test_percell_loss_matches_demo_reference():
+    """Execute the demo ComputeLoss (demos/yolov3_u/utils/lossv3.py) and
+    require YOLOv3LossPerCell('bce_mse') to match to fp precision."""
+    import jax.numpy as jnp
+
+    from fastvision_tpu.train import YOLOv3LossPerCell
+
+    tv = types.ModuleType("torchvision")
+    tv.ops = types.SimpleNamespace(nms=None, roi_align=None)
+    sys.modules.setdefault("torchvision", tv)
+    sys.path.insert(0, "/root/reference/demos/yolov3_u")
+    from utils.lossv3 import ComputeLoss
+
+    rng = np.random.default_rng(0)
+    bsz, c = 2, 4
+    anchors_px = np.asarray(
+        [[[116, 90], [156, 198], [373, 326]],
+         [[30, 61], [62, 45], [59, 119]],
+         [[10, 13], [16, 30], [33, 23]]], np.float32)
+    strides = [32, 16, 8]
+    shapes = [(bsz, 3 * (5 + c), 4, 4), (bsz, 3 * (5 + c), 8, 8),
+              (bsz, 3 * (5 + c), 16, 16)]
+    heads_t = [rng.normal(0, 0.5, s).astype(np.float32) for s in shapes]
+    gt = np.array([
+        [0, 1, 0.5, 0.5, 0.30, 0.40],
+        [0, 2, 0.25, 0.25, 0.10, 0.15],
+        [1, 0, 0.7, 0.6, 0.55, 0.35],
+    ], np.float32)
+
+    class FakeModel:
+        anchors = [torch.tensor(a / s) for a, s in zip(anchors_px, strides)]
+
+    want = float(ComputeLoss()([torch.tensor(h) for h in heads_t],
+                               torch.tensor(gt), FakeModel()))
+
+    heads_j = [
+        jnp.asarray(h.reshape(bsz, 3, 5 + c, h.shape[2], h.shape[3])
+                    .transpose(0, 3, 4, 1, 2))
+        for h in heads_t
+    ]
+    labels = np.full((bsz, 4, 5), -1, np.float32)
+    labels[0, 0] = [1, 0.5, 0.5, 0.30, 0.40]
+    labels[0, 1] = [2, 0.25, 0.25, 0.10, 0.15]
+    labels[1, 0] = [0, 0.7, 0.6, 0.55, 0.35]
+    ours = YOLOv3LossPerCell(jnp.asarray(anchors_px), strides=strides,
+                             num_classes=c, box_loss="bce_mse",
+                             ignore_iou_thres=0.5)
+    got = float(ours(heads_j, jnp.asarray(labels)).total)
+    assert abs(got - want) / abs(want) < 1e-5, (got, want)
