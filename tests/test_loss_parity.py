@@ -132,3 +132,95 @@ def test_percell_loss_matches_demo_reference():
                              ignore_iou_thres=0.5)
     got = float(ours(heads_j, jnp.asarray(labels)).total)
     assert abs(got - want) / abs(want) < 1e-5, (got, want)
+
+
+def test_percell_ciou_variant_vs_huaweiship_reference():
+    """huaweiShip lossv3 (CIoU box variant): cls and conf terms must match
+    exactly; the box term intentionally DIFFERS because the reference
+    computes CIoU through its sign-bugged torch DIoU (adds the center
+    -distance penalty, detection/tools/IOU.py:341 — SURVEY.md §2.7), which
+    we corrected. Corrected CIoU <= buggy CIoU, so our (1 - CIoU) box loss
+    is strictly larger than theirs on the same pairs... wait: corrected
+    CIoU = iou - rho2/c2 - av < buggy = iou + rho2/c2 - av, so our loss is
+    LARGER; assert both direction and bounded magnitude."""
+    import importlib
+    import importlib.util as ilu
+
+    import jax.numpy as jnp
+
+    from fastvision_tpu.train import YOLOv3LossPerCell
+
+    tv = types.ModuleType("torchvision")
+    tv.ops = types.SimpleNamespace(nms=None, roi_align=None)
+    sys.modules.setdefault("torchvision", tv)
+    pkg_dir = "/root/reference/demos/yolov3_huaweiShip/utils"
+    if "hw_utils" not in sys.modules:
+        spec = ilu.spec_from_file_location("hw_utils", pkg_dir + "/__init__.py",
+                                           submodule_search_locations=[pkg_dir])
+        pkg = ilu.module_from_spec(spec)
+        sys.modules["hw_utils"] = pkg
+        spec.loader.exec_module(pkg)
+    lossv3 = importlib.import_module("hw_utils.lossv3")
+
+    rng = np.random.default_rng(0)
+    bsz, c = 2, 4
+    anchors_px = np.asarray(
+        [[[116, 90], [156, 198], [373, 326]],
+         [[30, 61], [62, 45], [59, 119]],
+         [[10, 13], [16, 30], [33, 23]]], np.float32)
+    strides = [32, 16, 8]
+    shapes = [(bsz, 3 * (5 + c), 4, 4), (bsz, 3 * (5 + c), 8, 8),
+              (bsz, 3 * (5 + c), 16, 16)]
+    heads_t = [rng.normal(0, 0.5, s).astype(np.float32) for s in shapes]
+    gt = np.array([
+        [0, 1, 0.5, 0.5, 0.30, 0.40],
+        [0, 2, 0.25, 0.25, 0.10, 0.15],
+        [1, 0, 0.7, 0.6, 0.55, 0.35],
+    ], np.float32)
+
+    class FakeModel:
+        anchors = [torch.tensor(a / s) for a, s in zip(anchors_px, strides)]
+
+    captured_pairs = []
+    orig_ciou = lossv3.CIOU
+
+    def spy(box1, box2, mode="xywh", eps=1e-7):
+        captured_pairs.append((box1.detach().numpy().copy(),
+                               box2.detach().numpy().copy()))
+        return orig_ciou(box1, box2, mode=mode, eps=eps)
+
+    lossv3.CIOU = spy
+    try:
+        ref_box, ref_cls, ref_conf = lossv3.ComputeLoss()(
+            [torch.tensor(h) for h in heads_t], torch.tensor(gt), FakeModel())
+    finally:
+        lossv3.CIOU = orig_ciou
+
+    heads_j = [
+        jnp.asarray(h.reshape(bsz, 3, 5 + c, h.shape[2], h.shape[3])
+                    .transpose(0, 3, 4, 1, 2))
+        for h in heads_t
+    ]
+    labels = np.full((bsz, 4, 5), -1, np.float32)
+    labels[0, 0] = [1, 0.5, 0.5, 0.30, 0.40]
+    labels[0, 1] = [2, 0.25, 0.25, 0.10, 0.15]
+    labels[1, 0] = [0, 0.7, 0.6, 0.55, 0.35]
+    ours = YOLOv3LossPerCell(jnp.asarray(anchors_px), strides=strides,
+                             num_classes=c, box_loss="ciou",
+                             ignore_iou_thres=0.5)
+    o = ours(heads_j, jnp.asarray(labels))
+    np.testing.assert_allclose(float(o.cls), float(ref_cls), rtol=1e-5)
+    np.testing.assert_allclose(float(o.obj), float(ref_conf), rtol=1e-5)
+    # The box terms differ ONLY because the reference's CIOU runs through
+    # its sign-bugged torch DIoU (detection/tools/IOU.py:341, SURVEY §2.7),
+    # which we corrected. Prove the matching is identical: our box loss must
+    # equal corrected-CIoU applied to THEIR captured matched pairs.
+    from fastvision_tpu.ops.iou import box_iou
+
+    expected = np.mean([
+        float(jnp.mean(1.0 - box_iou(jnp.asarray(b1), jnp.asarray(b2),
+                                     kind="ciou", fmt="xywh")))
+        for b1, b2 in captured_pairs
+    ]) * len(captured_pairs)
+    np.testing.assert_allclose(float(o.box), expected / 1.0, rtol=1e-4)
+    del ref_box  # reference value kept only for documentation
