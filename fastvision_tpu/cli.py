@@ -311,14 +311,24 @@ def _detector_from_cfg(cfg, ckpt: str | None):
         from .core.checkpoint import CheckpointManager
 
         mgr = CheckpointManager(ckpt)
-        restored = mgr.restore(like={"params": variables["params"]})
+        like = {"params": variables["params"]}
+        if variables.get("batch_stats"):
+            like["batch_stats"] = variables["batch_stats"]
+        # prefer the EMA weights for inference when the run trained with EMA
+        like["ema_params"] = variables["params"]
+        restored = mgr.restore(like=like)
         variables = dict(variables)
-        variables["params"] = restored["state"]["params"]
+        variables["params"] = restored["state"].get(
+            "ema_params", restored["state"]["params"]
+        )
+        if "batch_stats" in restored["state"]:
+            variables["batch_stats"] = restored["state"]["batch_stats"]
     return Detector(
         model, variables, anchors, input_size=cfg.data.input_size,
         conf_thres=cfg.nms.conf_thres, iou_thres=cfg.nms.iou_thres,
         max_det=cfg.nms.max_det, class_names=cfg.data.categories or None,
         dtype=jnp.bfloat16 if cfg.train.bf16 else jnp.float32,
+        multi_label=cfg.nms.multi_label,
     )
 
 
@@ -331,8 +341,10 @@ def cmd_eval(args, overrides):
     res = det.evaluate(
         ds, metric_file=args.metric_file,
         config_note=f"conf {cfg.nms.conf_thres} iou {cfg.nms.iou_thres} "
-                    f"size {cfg.data.input_size}",
+                    f"size {cfg.data.input_size}"
+                    + (" tta" if args.tta else ""),
         max_images=args.max_images,
+        tta=args.tta,
     )
     print(f"mAP@0.5 {res['map50']:.4f}  mAP@0.5:0.95 {res['map']:.4f}  "
           f"({res['images']} imgs, {res['img_per_sec']:.1f} img/s)")
@@ -370,6 +382,13 @@ def cmd_infer(args, overrides):
 
 
 def cmd_serve(args, overrides):
+    # serving preset: the reference's competition recipe is MULTI-LABEL NMS
+    # at conf .001 / iou .6 (customize_service.py:453) — applied unless the
+    # user overrides nms.* explicitly in config/CLI
+    overrides = [
+        "nms.multi_label=true", "nms.conf_thres=0.001", "nms.iou_thres=0.6",
+        *overrides,
+    ]
     cfg = _load_config(args, overrides)
     from .infer.serving import VisionService, serve
 
@@ -416,6 +435,8 @@ def main(argv=None):
     p.add_argument("--ckpt", default="")
     p.add_argument("--metric-file", default="")
     p.add_argument("--max-images", type=int, default=None)
+    p.add_argument("--tta", action="store_true",
+                   help="horizontal-flip test-time augmentation")
     p = common(sub.add_parser("infer"))
     p.add_argument("--ckpt", default="")
     p.add_argument("--source", required=True)

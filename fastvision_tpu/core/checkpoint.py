@@ -73,9 +73,15 @@ def trainable_mask(params: Any, freeze_substrings: list[str]) -> Any:
 
 
 class CheckpointManager:
-    """Orbax-backed run checkpoints: {params, opt_state, step, config, date}.
+    """Orbax-backed run checkpoints: {params, batch_stats, opt_state,
+    ema_params, meta}.
 
-    Directory layout: <dir>/<step>/... plus <dir>/best/ for the best metric.
+    Directory layout: <dir>/<step>/... (retained per max_to_keep) plus
+    <dir>/best/ — a SEPARATE single-slot manager holding a durable copy of
+    the best-metric checkpoint, so retention garbage-collection of old
+    steps can never delete the best weights (the reference keeps a
+    standalone best .pth: demos/yolov3_huaweiShip/cfg/_fit.py:23-27).
+    The best metric value persists in best.json across restarts.
     """
 
     def __init__(self, directory: str, max_to_keep: int | None = 5):
@@ -85,65 +91,137 @@ class CheckpointManager:
             max_to_keep=max_to_keep, create=True, enable_async_checkpointing=True
         )
         self._mgr = ocp.CheckpointManager(self.directory, options=options)
+        self._best_mgr = None  # lazy: only runs that track a metric need it
         self._best_metric = None
+        best_json = os.path.join(self.directory, "best.json")
+        if os.path.exists(best_json):
+            try:
+                with open(best_json) as f:
+                    self._best_metric = json.load(f).get("metric")
+            except (json.JSONDecodeError, OSError):
+                pass
+
+    def _items(self, params, batch_stats, opt_state, ema_params, meta):
+        items = {
+            "params": ocp.args.StandardSave(params),
+            "meta": ocp.args.JsonSave(meta),
+        }
+        if batch_stats:
+            items["batch_stats"] = ocp.args.StandardSave(batch_stats)
+        if opt_state is not None:
+            items["opt_state"] = ocp.args.StandardSave(opt_state)
+        if ema_params is not None:
+            items["ema_params"] = ocp.args.StandardSave(ema_params)
+        return items
 
     def save(
         self,
         step: int,
         params: Any,
         opt_state: Any = None,
+        batch_stats: Any = None,
+        ema_params: Any = None,
         extra: dict | None = None,
         metric: float | None = None,
         higher_is_better: bool = True,
     ) -> None:
+        """Save the RAW training params (plus BN batch_stats / optimizer
+        state / EMA shadow params when given). EMA weights go under their
+        own key so resume can restore both trees (ADVICE r1: saving the EMA
+        tree AS 'params' broke resume)."""
         meta = dict(extra or {})
         meta["date"] = datetime.datetime.now().isoformat()
         meta["step"] = step
-        items = {
-            "params": ocp.args.StandardSave(params),
-            "meta": ocp.args.JsonSave(meta),
-        }
-        if opt_state is not None:
-            items["opt_state"] = ocp.args.StandardSave(opt_state)
-        self._mgr.save(step, args=ocp.args.Composite(**items))
+        self._mgr.save(
+            step,
+            args=ocp.args.Composite(
+                **self._items(params, batch_stats, opt_state, ema_params, meta)
+            ),
+        )
         if metric is not None:
-            better = (
-                self._best_metric is None
-                or (metric > self._best_metric) == higher_is_better
+            better = self._best_metric is None or (
+                metric > self._best_metric
+                if higher_is_better
+                else metric < self._best_metric
             )
             if better:
-                self._best_metric = metric
+                self._best_metric = float(metric)
+                if self._best_mgr is None:
+                    self._best_mgr = ocp.CheckpointManager(
+                        os.path.join(self.directory, "best"),
+                        options=ocp.CheckpointManagerOptions(
+                            max_to_keep=1, create=True,
+                            enable_async_checkpointing=True,
+                        ),
+                    )
+                self._best_mgr.save(
+                    step,
+                    args=ocp.args.Composite(
+                        **self._items(params, batch_stats, opt_state,
+                                      ema_params, meta)
+                    ),
+                )
                 with open(os.path.join(self.directory, "best.json"), "w") as f:
                     json.dump({"step": step, "metric": float(metric)}, f)
 
     def latest_step(self) -> int | None:
         return self._mgr.latest_step()
 
-    def restore(self, step: int | None = None, like: Any = None) -> dict:
+    def available_items(self, step: int | None = None) -> set[str]:
+        """Item names present in a saved step (for graceful partial restore)."""
+        step = step if step is not None else self.latest_step()
+        if step is None:
+            return set()
+        return set(dict(self._mgr.item_metadata(step)).keys())
+
+    def restore(self, step: int | None = None, like: Any = None,
+                best: bool = False) -> dict:
         """Restore a checkpoint.
 
         `like` is a dict giving pytree structure/sharding per item, e.g.
-        {'params': params_like} or {'params': ..., 'opt_state': ...} —
-        items absent from `like` are not restored (partial restore works:
-        eval needs only params even when opt_state is on disk)."""
-        step = step if step is not None else self.latest_step()
+        {'params': params_like} or {'params': ..., 'batch_stats': ...,
+        'opt_state': ...} — items absent from `like` are not restored, and
+        items in `like` but missing from the on-disk step are silently
+        skipped (partial restore: eval needs only params+batch_stats).
+        `best=True` restores from the durable <dir>/best/ slot."""
+        mgr = self._mgr
+        if best:
+            best_dir = os.path.join(self.directory, "best")
+            if self._best_mgr is None:
+                if not os.path.isdir(best_dir):
+                    raise FileNotFoundError(f"no best checkpoint under {best_dir}")
+                self._best_mgr = ocp.CheckpointManager(
+                    best_dir,
+                    options=ocp.CheckpointManagerOptions(
+                        max_to_keep=1, create=True,
+                        enable_async_checkpointing=True,
+                    ),
+                )
+            mgr = self._best_mgr
+        step = step if step is not None else mgr.latest_step()
         if step is None:
             raise FileNotFoundError(f"no checkpoint under {self.directory}")
         if like is not None:
+            on_disk = set(dict(mgr.item_metadata(step)).keys())
             items = {"meta": ocp.args.JsonRestore()}
             for key, target in like.items():
-                items[key] = ocp.args.StandardRestore(target)
-            restored = self._mgr.restore(step, args=ocp.args.Composite(**items))
+                if key in on_disk:
+                    items[key] = ocp.args.StandardRestore(target)
+            restored = mgr.restore(step, args=ocp.args.Composite(**items))
         else:
-            restored = self._mgr.restore(step)
-        state = {k: v for k, v in restored.items() if k != "meta"}
+            restored = mgr.restore(step)
+        state = {k: v for k, v in restored.items() if k != "meta" and v is not None}
         return {"state": state, "meta": restored.get("meta", {}) or {}}
 
     def wait(self):
         self._mgr.wait_until_finished()
+        if self._best_mgr is not None:
+            self._best_mgr.wait_until_finished()
 
     def close(self):
         self._mgr.close()
+        if self._best_mgr is not None:
+            self._best_mgr.close()
 
 
 # ----------------------------------------------------------------------------

@@ -22,6 +22,7 @@ from .class_names import (
     CIFAR10_CLASSES,
     COCO_CLASSES,
     DATASETS,
+    categories_for,
     make_descriptor,
 )
 from .converters import VOC_CLASSES, coco_90_to_80_map, coco_to_fastvision, voc_to_fastvision

@@ -3,9 +3,9 @@
 Role of the reference's `datasets/data/*.yaml` descriptors (data_root /
 dirs / num_classes / categories): here the category lists are importable
 constants, and `make_descriptor` writes a framework-config YAML for any of
-them. Datasets whose label lists are long/version-dependent (imagenet,
-kinetics-400, ucf101, sports-1m) get descriptor templates with
-`num_classes` set and categories left to the dataset's own metadata file.
+them. The long lists (imagenet, kinetics-400, ucf101, sports-1m) ship as
+package data under `descriptors/*.yaml` — full category lists, same
+contents as the reference's — loaded lazily via `categories_for`.
 """
 from __future__ import annotations
 
@@ -36,7 +36,10 @@ CIFAR10_CLASSES = (
     "ship", "truck",
 )
 
-# descriptor templates: name -> (num_classes, categories or None)
+# descriptor templates: name -> (num_classes, categories or None).
+# None = long list shipped as package data under descriptors/<name>.yaml
+# (full lists, matching the reference's datasets/data/*.yaml); loaded
+# lazily via `categories_for`.
 DATASETS = {
     "coco": (80, COCO_CLASSES),
     "voc": (20, VOC_CLASSES),
@@ -46,6 +49,33 @@ DATASETS = {
     "ucf101": (101, None),
     "sports1m": (487, None),
 }
+
+_CATEGORY_CACHE: dict[str, tuple] = {}
+
+
+def categories_for(name: str) -> tuple:
+    """Full category list for a known dataset (lazy-loads the long video /
+    imagenet lists from package data)."""
+    if name not in DATASETS:
+        raise KeyError(f"unknown dataset {name!r}; known: {sorted(DATASETS)}")
+    num_classes, categories = DATASETS[name]
+    if categories is not None:
+        return categories
+    if name not in _CATEGORY_CACHE:
+        import os
+
+        import yaml
+
+        path = os.path.join(os.path.dirname(__file__), "descriptors", f"{name}.yaml")
+        with open(path, encoding="utf-8") as f:
+            data = yaml.safe_load(f)
+        cats = tuple(data["categories"])
+        if len(cats) != num_classes:
+            raise ValueError(
+                f"{path}: {len(cats)} categories != num_classes {num_classes}"
+            )
+        _CATEGORY_CACHE[name] = cats
+    return _CATEGORY_CACHE[name]
 
 
 def make_descriptor(
@@ -58,7 +88,8 @@ def make_descriptor(
     known dataset — the `datasets/data/*.yaml` descriptor equivalent."""
     if name not in DATASETS:
         raise KeyError(f"unknown dataset {name!r}; known: {sorted(DATASETS)}")
-    num_classes, categories = DATASETS[name]
+    num_classes, _ = DATASETS[name]
+    categories = categories_for(name)
     desc = {
         "data": {
             "data_root": data_root,
@@ -66,7 +97,7 @@ def make_descriptor(
             "val_dir": "val",
             "test_dir": "test",
             "num_classes": num_classes,
-            "categories": list(categories) if categories else [],
+            "categories": list(categories),
             "input_size": input_size,
         },
         "model": {"num_classes": num_classes},

@@ -47,6 +47,7 @@ class Detector:
         normalize: str = "scale",  # 'scale' (/255) or 'imagenet'
         dtype=jnp.bfloat16,
         mesh=None,  # multi-chip serving: batch sharded over the 'data' axis
+        multi_label: bool = False,  # serving NMS variant (customize_service.py:453)
     ):
         self.mesh = mesh
         self.variables = variables
@@ -54,17 +55,35 @@ class Detector:
         self.input_size = input_size
         self.batch_size = batch_size
         self.class_names = list(class_names) if class_names else None
+        self.conf_thres = conf_thres
+        self.iou_thres = iou_thres
+        self.max_det = max_det
+        self.multi_label = multi_label
         strides = tuple(strides)
         imagenet = normalize == "imagenet"
+
+        if multi_label:
+            from ..ops.nms import non_max_suppression_multilabel
+
+            def _nms(pred):
+                return jax.vmap(
+                    lambda p: non_max_suppression_multilabel(
+                        p, conf_thres=conf_thres, iou_thres=iou_thres,
+                        max_det=max_det,
+                    )
+                )(pred)
+        else:
+            def _nms(pred):
+                return batched_non_max_suppression(
+                    pred, conf_thres=conf_thres, iou_thres=iou_thres,
+                    max_det=max_det,
+                )
 
         def _infer(v, images_u8):
             x = normalize_images(images_u8, dtype, imagenet=imagenet)
             heads = model.apply(v, x, train=False)
             pred = decode_predictions(heads, self.anchors, strides, decode_style)
-            return batched_non_max_suppression(
-                pred.astype(jnp.float32),
-                conf_thres=conf_thres, iou_thres=iou_thres, max_det=max_det,
-            )
+            return _nms(pred.astype(jnp.float32))
 
         self._infer = jax.jit(_infer)
 
@@ -76,10 +95,24 @@ class Detector:
         return shard_batch({"images": batch}, self.mesh)["images"]
 
     # ------------------------------------------------------------------
-    def predict_batch(self, images: Sequence[np.ndarray | str]) -> list[dict]:
-        """-> list of {boxes, scores, classes} in ORIGINAL image pixels."""
-        batch, metas = preprocess_batch(images, self.input_size)
+    def predict_batch(
+        self, images: Sequence[np.ndarray | str], tta: bool = False
+    ) -> list[dict]:
+        """-> list of {boxes, scores, classes} in ORIGINAL image pixels.
+
+        Any n works: n < batch_size pads to the compiled shape, n >
+        batch_size chunks internally (each chunk reuses the same compiled
+        program — no recompile). `tta=True` adds horizontal-flip test-time
+        augmentation (see `_predict_tta`)."""
+        if tta:
+            return self._predict_tta(images)
         n = len(images)
+        if n > self.batch_size:
+            out = []
+            for i in range(0, n, self.batch_size):
+                out.extend(self.predict_batch(images[i : i + self.batch_size]))
+            return out
+        batch, metas = preprocess_batch(images, self.input_size)
         if n < self.batch_size:  # pad to the compiled batch size
             batch = np.concatenate([batch, np.repeat(batch[-1:], self.batch_size - n, 0)])
         batch = self._to_device(batch)
@@ -93,8 +126,49 @@ class Detector:
                         "classes": det.classes[i][v]})
         return out
 
-    def predict_image(self, image: np.ndarray | str) -> dict:
-        return self.predict_batch([image])[0]
+    def predict_image(self, image: np.ndarray | str, tta: bool = False) -> dict:
+        return self.predict_batch([image], tta=tta)[0]
+
+    def _predict_tta(self, images: Sequence[np.ndarray | str]) -> list[dict]:
+        """Horizontal-flip test-time augmentation.
+
+        The flip + its inverse box mapping run through `Augmentation` and
+        its decision-replay (`replay()` is the lock mechanism of ref
+        datasets/common/augmentation.py:18, built exactly for this pair
+        consistency): predict on the flipped image, then REPLAY the same
+        flip on the predicted boxes — a flip is self-inverse, so the replay
+        maps them back to original coordinates. Original + flipped
+        candidates are merged with one class-aware greedy NMS."""
+        from ..data.augment import Augmentation, HorizontalFlip
+        from ..data.dataset import imread_rgb
+
+        arrs = [imread_rgb(im) if isinstance(im, str) else im for im in images]
+        base = self.predict_batch(arrs)
+        flipped, augs = [], []
+        for a in arrs:
+            aug = Augmentation([HorizontalFlip(p=1.0)], mode="detect")
+            f, _ = aug(a, labels=np.zeros((0, 5), np.float32))
+            flipped.append(f)
+            augs.append(aug)
+        flip_res = self.predict_batch(flipped)
+        out = []
+        for r, rf, aug, f in zip(base, flip_res, augs, flipped):
+            lab = np.concatenate(
+                [rf["classes"][:, None].astype(np.float32),
+                 rf["boxes"].astype(np.float32)], axis=1,
+            )
+            _, lab_back = aug.replay(f, lab)
+            boxes = np.concatenate([r["boxes"], lab_back[:, 1:5]], axis=0)
+            scores = np.concatenate([r["scores"], rf["scores"]], axis=0)
+            classes = np.concatenate([r["classes"], lab_back[:, 0].astype(r["classes"].dtype)])
+            keep = _greedy_nms_np(
+                boxes + classes[:, None].astype(np.float32) * 1e5,
+                scores, self.iou_thres,
+            )
+            out.append({"boxes": boxes[keep][: self.max_det],
+                        "scores": scores[keep][: self.max_det],
+                        "classes": classes[keep][: self.max_det]})
+        return out
 
     def predict_dir(self, directory: str) -> Iterator[tuple[str, dict]]:
         """Batched inference over all images in a directory."""
@@ -182,18 +256,29 @@ class Detector:
         metric_file: str | None = None,
         config_note: str = "",
         max_images: int | None = None,
+        tta: bool = False,
     ) -> dict:
         """mAP over a DetectionDataset; optionally append the run to a
-        metric table file (ref inference.py:234-247 metric.txt writer)."""
+        metric table file (ref inference.py:234-247 metric.txt writer).
+        `tta=True` evaluates with horizontal-flip test-time augmentation."""
         from ..ops.map import MeanAveragePrecision
 
         m = MeanAveragePrecision()
         n = len(dataset) if max_images is None else min(len(dataset), max_images)
         ds = dataset if n == len(dataset) else _Subset(dataset, n)
         t0 = time.perf_counter()
-        for res, lab in self.predict_dataset(ds):
-            m.update(res["boxes"], res["scores"], res["classes"],
-                     lab[:, 1:5], lab[:, 0])
+        if tta:
+            for start in range(0, n, self.batch_size):
+                idxs = range(start, min(start + self.batch_size, n))
+                samples = [ds[i] for i in idxs]
+                results = self.predict_batch([s[0] for s in samples], tta=True)
+                for res, (_, lab, _id) in zip(results, samples):
+                    m.update(res["boxes"], res["scores"], res["classes"],
+                             lab[:, 1:5], lab[:, 0])
+        else:
+            for res, lab in self.predict_dataset(ds):
+                m.update(res["boxes"], res["scores"], res["classes"],
+                         lab[:, 1:5], lab[:, 0])
         dt = time.perf_counter() - t0
         r = m.compute()
         result = {
@@ -206,6 +291,30 @@ class Detector:
                 row = " ".join(f"{v:.4f}" for v in r.map_per_iou)
                 f.write(f"# {config_note}\n{header} | mAP@0.5:0.95\n{row} | {r.map:.4f}\n")
         return result
+
+
+def _greedy_nms_np(boxes: np.ndarray, scores: np.ndarray, iou_thres: float) -> np.ndarray:
+    """Host-side greedy NMS over a small merged candidate set (TTA only);
+    returns kept indices in descending-score order."""
+    order = np.argsort(-scores)
+    keep = []
+    while order.size:
+        i = order[0]
+        keep.append(i)
+        if order.size == 1:
+            break
+        rest = order[1:]
+        b, r = boxes[i], boxes[rest]
+        ix1 = np.maximum(b[0], r[:, 0])
+        iy1 = np.maximum(b[1], r[:, 1])
+        ix2 = np.minimum(b[2], r[:, 2])
+        iy2 = np.minimum(b[3], r[:, 3])
+        inter = np.clip(ix2 - ix1, 0, None) * np.clip(iy2 - iy1, 0, None)
+        area_b = (b[2] - b[0]) * (b[3] - b[1])
+        area_r = (r[:, 2] - r[:, 0]) * (r[:, 3] - r[:, 1])
+        iou = inter / np.maximum(area_b + area_r - inter, 1e-9)
+        order = rest[iou <= iou_thres]
+    return np.asarray(keep, np.int64)
 
 
 class _Subset:

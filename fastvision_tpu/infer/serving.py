@@ -14,6 +14,7 @@ deployment (POST /predict with an image body or multipart file).
 from __future__ import annotations
 
 import json
+import time
 from typing import Sequence
 
 import numpy as np
@@ -37,9 +38,7 @@ class VisionService:
             raise ValueError("cannot decode image payload")
         return cv2.cvtColor(img, cv2.COLOR_BGR2RGB)
 
-    def predict(self, image_bytes: bytes) -> dict:
-        image = self._decode_bytes(image_bytes)
-        res = self.detector.predict_image(image)
+    def _to_json(self, res: dict) -> dict:
         names = self.class_names
         classes = [
             names[int(c)] if names else int(c) for c in res["classes"]
@@ -55,12 +54,113 @@ class VisionService:
             "detection_boxes": boxes,
         }
 
+    def predict(self, image_bytes: bytes) -> dict:
+        return self._to_json(
+            self.detector.predict_image(self._decode_bytes(image_bytes))
+        )
 
-def serve(service: VisionService, host: str = "0.0.0.0", port: int = 8080):
-    """Run the service behind the stdlib HTTP server (blocking)."""
-    from http.server import BaseHTTPRequestHandler, HTTPServer
+    def predict_many(self, payloads: Sequence[bytes]) -> list[dict]:
+        """One device call for several requests (micro-batching path)."""
+        images = [self._decode_bytes(b) for b in payloads]
+        return [self._to_json(r) for r in self.detector.predict_batch(images)]
+
+
+class _MicroBatcher:
+    """Aggregates concurrent requests into one compiled-batch device call.
+
+    Requests enqueue; a worker drains up to `max_batch` at a time (waiting
+    up to `window_ms` after the first arrival for stragglers) and runs them
+    through VisionService.predict_many. Each caller blocks on its own event.
+    Replaces the per-request `_inference` of the ModelArts host with a
+    batching layer that keeps the fixed-batch jitted program full.
+    """
+
+    def __init__(self, service: VisionService, max_batch: int | None = None,
+                 window_ms: float = 5.0):
+        import queue
+        import threading
+
+        self.service = service
+        self.max_batch = max_batch or service.detector.batch_size
+        self.window = window_ms / 1000.0
+        self._q: "queue.Queue" = queue.Queue()
+        self._thread = threading.Thread(target=self._worker, daemon=True)
+        self._thread.start()
+
+    def predict(self, payload: bytes) -> dict:
+        import threading
+
+        slot = {"event": threading.Event(), "payload": payload}
+        self._q.put(slot)
+        slot["event"].wait()
+        if "error" in slot:
+            raise slot["error"]
+        return slot["result"]
+
+    def _worker(self):
+        import queue
+
+        while True:
+            slots = [self._q.get()]
+            deadline = time.monotonic() + self.window
+            while len(slots) < self.max_batch:
+                remaining = deadline - time.monotonic()
+                if remaining <= 0:
+                    break
+                try:
+                    slots.append(self._q.get(timeout=remaining))
+                except queue.Empty:
+                    break
+            try:
+                results = self.service.predict_many([s["payload"] for s in slots])
+                for s, r in zip(slots, results):
+                    s["result"] = r
+            except Exception as e:  # noqa: BLE001 — isolate bad payloads
+                # retry one-by-one so a single bad image fails only itself
+                for s in slots:
+                    try:
+                        s["result"] = self.service.predict(s["payload"])
+                    except Exception as ee:  # noqa: BLE001
+                        s["error"] = ee
+                del e
+            for s in slots:
+                s["event"].set()
+
+
+def serve(service: VisionService, host: str = "0.0.0.0", port: int = 8080,
+          batch_window_ms: float = 5.0):
+    """Run the service behind a THREADED stdlib HTTP server (blocking).
+
+    Concurrent POST /predict requests are micro-batched into one device
+    call; GET /health reports liveness."""
+    server = make_server(service, host, port, batch_window_ms)
+    print(f"[serve] listening on {host}:{port} "
+          f"(POST /predict, GET /health)")
+    server.serve_forever()
+
+
+def make_server(service: VisionService, host: str = "127.0.0.1",
+                port: int = 8080, batch_window_ms: float = 5.0):
+    """Build (but don't start) the HTTP server — separable for tests."""
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+    batcher = _MicroBatcher(service, window_ms=batch_window_ms)
 
     class Handler(BaseHTTPRequestHandler):
+        def _send(self, code: int, obj: dict):
+            payload = json.dumps(obj).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(payload)))
+            self.end_headers()
+            self.wfile.write(payload)
+
+        def do_GET(self):
+            if self.path.rstrip("/") in ("/health", "/healthz"):
+                self._send(200, {"status": "ok"})
+            else:
+                self.send_error(404)
+
         def do_POST(self):
             if self.path.rstrip("/") not in ("", "/predict"):
                 self.send_error(404)
@@ -68,24 +168,11 @@ def serve(service: VisionService, host: str = "0.0.0.0", port: int = 8080):
             length = int(self.headers.get("Content-Length", 0))
             body = self.rfile.read(length)
             try:
-                result = service.predict(body)
-                payload = json.dumps(result).encode()
-                self.send_response(200)
-                self.send_header("Content-Type", "application/json")
-                self.send_header("Content-Length", str(len(payload)))
-                self.end_headers()
-                self.wfile.write(payload)
+                self._send(200, batcher.predict(body))
             except Exception as e:  # noqa: BLE001 — serving boundary
-                err = json.dumps({"error": str(e)}).encode()
-                self.send_response(400)
-                self.send_header("Content-Type", "application/json")
-                self.send_header("Content-Length", str(len(err)))
-                self.end_headers()
-                self.wfile.write(err)
+                self._send(400, {"error": str(e)})
 
         def log_message(self, *args):
             pass
 
-    server = HTTPServer((host, port), Handler)
-    print(f"[serve] listening on {host}:{port} (POST /predict)")
-    server.serve_forever()
+    return ThreadingHTTPServer((host, port), Handler)

@@ -43,7 +43,8 @@ from ...ops.box_coder import decode_boxes, encode_boxes
 from ...ops.iou import box_iou_matrix
 from ...ops.nms import Detections, suppression_mask
 from ...ops.roi_align import roi_align, roi_align_mxu
-from ...train.losses import binary_cross_entropy, cross_entropy, smooth_l1
+from ...train.losses import (binary_cross_entropy, binary_focal_loss,
+                             cross_entropy, smooth_l1)
 from ..classification.vgg import CFGS, VGG
 
 BOX_STD = (0.1, 0.1, 0.2, 0.2)
@@ -155,6 +156,8 @@ def rpn_loss(
     neg_iou: float = 0.3,
     num_pos: int = 128,
     num_neg: int = 128,
+    focal_gamma: float = 2.0,
+    focal_alpha: float | None = None,
 ):
     """Anchor classification + regression loss (rpn.py:227-320)."""
 
@@ -178,11 +181,14 @@ def rpn_loss(
         pos_idx, pos_w = random_sample_mask(rng_p, pos, num_pos)
         neg_idx, neg_w = random_sample_mask(rng_n, neg, num_neg)
 
-        # classification: focal-flavored BCE on sampled anchors
+        # classification: sigmoid FOCAL loss (gamma=2, uniform alpha) on
+        # sampled anchors — the reference RPN trains with FocalLoss, not
+        # plain CE (rpn.py:312, FocalLoss(class_num=2) at :109)
         logit_s = jnp.concatenate([obj[pos_idx], obj[neg_idx]])
         target_s = jnp.concatenate([jnp.ones(num_pos), jnp.zeros(num_neg)])
         weight_s = jnp.concatenate([pos_w, neg_w])
-        cls = binary_cross_entropy(logit_s, target_s, weights=weight_s)
+        cls = binary_focal_loss(logit_s, target_s, gamma=focal_gamma,
+                                alpha=focal_alpha, weights=weight_s)
 
         # regression on sampled positives
         tgt = encode_boxes(anchors[pos_idx], gt[best_gt[pos_idx]])

@@ -8,9 +8,18 @@ Two pathways over one clip [B, T, H, W, 3]:
     first three stages (:281-290);
   - concat of both pathways' global averages -> classifier.
 
-The time axis is a natural `time` mesh-sharding candidate for long clips
-(SURVEY.md §2.5 SP analogue); this module keeps the time axis leading-inner
-so a future shard_map over ('time',) with ppermute halo exchange drops in.
+Time-axis sharding (long clips — SURVEY.md §2.5 SP analogue): set
+`time_axis='time'` and run under a mesh with a 'time' dimension. The FAST
+pathway (the T-heavy one: every frame at full rate) is constrained to stay
+sharded over that axis; GSPMD then partitions its temporal convolutions
+with automatic halo exchange over ICI (the compiler inserts the same
+ppermute pattern `parallel.time_shard.halo_exchange_time` builds by hand).
+The slow pathway carries T/alpha frames and stays unconstrained.
+
+    mesh = create_mesh(data=1, time=8)
+    model = slowfast_resnet50(num_classes=..., time_axis='time')
+    with mesh:
+        logits = jax.jit(model.apply)(vars, clip)   # clip [B, T, H, W, 3]
 """
 from __future__ import annotations
 
@@ -18,7 +27,9 @@ from functools import partial
 from typing import Any, Sequence
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
+from jax.sharding import PartitionSpec as P
 
 from .resnet3d import ConvBN3D, SpatioTemporalBlock, SpatioTemporalBottleneck
 
@@ -44,6 +55,17 @@ class SlowFast(nn.Module):
     alpha: int = 8  # fast/slow frame-rate ratio
     beta_inv: int = 8  # slow/fast channel ratio
     dtype: Any = jnp.float32
+    time_axis: str | None = None  # mesh axis to shard the fast pathway's T over
+
+    def _time_constrain(self, x):
+        """Pin [B, T, H, W, C] activations to stay T-sharded over the mesh
+        `time_axis` (no-op when unset). GSPMD partitions the temporal convs
+        between constraints, inserting halo exchanges over ICI."""
+        if self.time_axis is None:
+            return x
+        return jax.lax.with_sharding_constraint(
+            x, P(None, self.time_axis, None, None, None)
+        )
 
     def _pathway(self, x, width_mult: float, temporal_stem: bool, prefix: str, train):
         """Build one pathway's stages, returning per-stage features."""
@@ -58,10 +80,11 @@ class SlowFast(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False):
         slow_in = x[:, :: self.alpha]  # temporal stride alpha (slowfast.py:324-333)
-        fast_in = x
+        fast_in = self._time_constrain(x)
 
         slow, slow_base = self._pathway(slow_in, 1.0, False, "slow", train)
         fast, fast_base = self._pathway(fast_in, 1.0 / self.beta_inv, True, "fast", train)
+        fast = self._time_constrain(fast)
         # lateral after stem
         lat = Lateral(fast_base * 2, self.alpha, self.dtype, name="lateral_stem")(fast, train)
         slow = jnp.concatenate([slow, lat], axis=-1)
@@ -74,8 +97,10 @@ class SlowFast(nn.Module):
                 strides = (1, 2, 2) if (i > 0 and j == 0) else (1, 1, 1)
                 slow = self.block_cls(s_feat, strides, dtype=self.dtype,
                                       name=f"slow_s{i + 1}_b{j}")(slow, train)
-                fast = self.block_cls(f_feat, strides, dtype=self.dtype,
-                                      name=f"fast_s{i + 1}_b{j}")(fast, train)
+                fast = self._time_constrain(
+                    self.block_cls(f_feat, strides, dtype=self.dtype,
+                                   name=f"fast_s{i + 1}_b{j}")(fast, train)
+                )
             if i < len(self.stage_sizes) - 1:  # laterals after stages 1-3
                 lat = Lateral(f_feat * exp * 2, self.alpha, self.dtype,
                               name=f"lateral_s{i + 1}")(fast, train)

@@ -21,8 +21,8 @@ from typing import Callable
 
 import jax
 import jax.numpy as jnp
+from jax import shard_map
 from jax.sharding import Mesh, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
 
 
 def halo_exchange_time(x: jnp.ndarray, axis_name: str = "time", halo: int = 1) -> jnp.ndarray:

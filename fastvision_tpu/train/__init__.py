@@ -4,6 +4,7 @@ from .losses import (
     YOLOv3LossPerCell,
     YoloLossOutput,
     binary_cross_entropy,
+    binary_focal_loss,
     cross_entropy,
     focal_loss,
     iou_loss,

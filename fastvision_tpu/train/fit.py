@@ -98,15 +98,26 @@ class Fit:
 
         self.ckpt = CheckpointManager(ckpt_dir) if ckpt_dir else None
         if resume and self.ckpt and self.ckpt.latest_step() is not None:
-            restored = self.ckpt.restore(
-                like={"params": self.state.params, "opt_state": self.state.opt_state}
-            )
+            like = {"params": self.state.params, "opt_state": self.state.opt_state}
+            if self.state.batch_stats:
+                like["batch_stats"] = self.state.batch_stats
+            if self.ema_params is not None:
+                like["ema_params"] = self.ema_params
+            restored = self.ckpt.restore(like=like)
             self.state = TrainState(
                 restored["state"]["params"],
-                self.state.batch_stats,
+                restored["state"].get("batch_stats", self.state.batch_stats),
                 restored["state"]["opt_state"],
                 self.state.step,
             )
+            if self.ema_params is not None:
+                # restore the EMA shadow tree; fall back to the restored raw
+                # params (NOT the fresh init) if an old checkpoint lacks it
+                self.ema_params = restored["state"].get(
+                    "ema_params",
+                    jax.tree.map(lambda p: jnp.array(p, jnp.float32, copy=True),
+                                 self.state.params),
+                )
             self.start_epoch = int(restored["meta"].get("epoch", -1)) + 1
             self.global_step = int(restored["meta"].get("global_step", 0))
             print(f"[fit] resumed from epoch {self.start_epoch}")
@@ -129,7 +140,10 @@ class Fit:
         return lr
 
     def _train_epoch(self, epoch: int, loader, lr_override: float | None = None) -> float:
-        losses = []
+        # device-side running sum: unbiased epoch mean over EVERY step
+        # without a host sync per step (synced once at epoch end)
+        loss_sum = None
+        n_steps = 0
         t0 = time.perf_counter()
         n_images = 0
         for batch in prefetch_to_device(loader.epoch(epoch), mesh=self.mesh):
@@ -139,22 +153,26 @@ class Fit:
                 self.ema_params = self._ema_update(
                     self.ema_params, self.state.params, self.state.step
                 )
+            step_loss = metrics["loss"]
+            loss_sum = step_loss if loss_sum is None else loss_sum + step_loss
+            n_steps += 1
             self.global_step += 1
             n_images += batch["images"].shape[0]
             if self.global_step % self.log_every == 0:
-                loss = float(metrics["loss"])
-                losses.append(loss)
                 dt = time.perf_counter() - t0
                 self.logger.log(
                     self.global_step,
                     epoch=epoch,
-                    loss=loss,
+                    loss=float(step_loss),
                     lr=lr,
                     img_per_sec=n_images / max(dt, 1e-9),
                 )
-        # final loss of the epoch (forces sync once per epoch, not per step)
-        losses.append(float(metrics["loss"]))
-        return float(np.mean(losses))
+        if n_steps == 0:
+            raise ValueError(
+                f"train loader produced zero batches in epoch {epoch} "
+                "(dataset smaller than batch_size with drop_last?)"
+            )
+        return float(loss_sum) / n_steps
 
     def eval_state(self) -> TrainState:
         """State used for evaluation/serving: EMA weights when enabled."""
@@ -189,13 +207,14 @@ class Fit:
             if self.plateau is not None:
                 self.plateau.update(metric)
             if self.ckpt is not None and (self.save_every_epoch or epoch == self.epochs - 1):
-                save_params = (
-                    self.ema_params if self.ema_params is not None else self.state.params
-                )
                 self.ckpt.save(
                     epoch,
-                    jax.device_get(save_params),
+                    jax.device_get(self.state.params),
                     opt_state=jax.device_get(self.state.opt_state),
+                    batch_stats=(jax.device_get(self.state.batch_stats)
+                                 if self.state.batch_stats else None),
+                    ema_params=(jax.device_get(self.ema_params)
+                                if self.ema_params is not None else None),
                     extra={"epoch": epoch, "global_step": self.global_step,
                            "train_loss": train_loss, **{k: float(v) for k, v in val_metrics.items()}},
                     metric=float(metric),

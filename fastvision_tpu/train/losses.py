@@ -90,6 +90,31 @@ def focal_loss(
     return _reduce(loss, weights, reduction)
 
 
+def binary_focal_loss(
+    logits,
+    targets,
+    alpha: float | None = None,
+    gamma: float = 2.0,
+    weights=None,
+    reduction: str = "mean",
+):
+    """Sigmoid focal loss on a single logit (RetinaNet form).
+
+    `alpha=None` disables the α class-weighting — this matches the
+    reference RPN's FocalLoss(class_num=2) with default alpha=ones
+    (demos/faster_rcnn/models/rpn.py:109, loss/classification_loss.py:83),
+    whose 2-class softmax focal is exactly sigmoid focal on the
+    foreground logit with uniform α."""
+    targets = targets.astype(logits.dtype)
+    ce = binary_cross_entropy(logits, targets, from_logits=True, reduction="none")
+    p = jax.nn.sigmoid(logits)
+    p_t = p * targets + (1 - p) * (1 - targets)
+    loss = (1 - p_t) ** gamma * ce
+    if alpha is not None:
+        loss = loss * (alpha * targets + (1 - alpha) * (1 - targets))
+    return _reduce(loss, weights, reduction)
+
+
 def iou_loss(
     pred_boxes,
     target_boxes,
@@ -213,15 +238,25 @@ def _dense_targets(labels, anchors_feat, grid_hw, ratio_thres=None,
         return jnp.broadcast_to(x[:, :, None, None], (b, m, a, c, x.shape[-1]))
 
     off = jnp.stack([off_x, off_y], axis=-1)  # [B, M, C, 2]
-    t_box = scatter(
-        jnp.concatenate([tile_mc(off), tile_m(twh)], axis=-1), 4
-    ).reshape(b, h, w, a, 4)
-    t_cls = scatter(
-        jnp.broadcast_to(cls_idx[:, :, None, None, None].astype(jnp.float32),
-                         (b, m, a, c, 1)), 1
-    ).reshape(b, h, w, a).astype(jnp.int32)
-    pos = scatter(jnp.ones((b, m, a, c, 1), jnp.float32), 1).reshape(b, h, w, a)
-    pos = jnp.minimum(pos, 1.0)  # collisions: clamp
+    # ONE scatter for box+cls+pos: with duplicate indices (two GTs matching
+    # the same cell/anchor) XLA's winner is unspecified PER OP, so separate
+    # scatters could mix box from one GT with class from another — a single
+    # concatenated scatter makes one GT win the whole slot consistently
+    vals = jnp.concatenate(
+        [
+            tile_mc(off).astype(jnp.float32),
+            tile_m(twh).astype(jnp.float32),
+            jnp.broadcast_to(
+                cls_idx[:, :, None, None, None].astype(jnp.float32), (b, m, a, c, 1)
+            ),
+            jnp.ones((b, m, a, c, 1), jnp.float32),
+        ],
+        axis=-1,
+    )
+    dense = scatter(vals, 6).reshape(b, h, w, a, 6)
+    t_box = dense[..., :4]
+    t_cls = dense[..., 4].astype(jnp.int32)
+    pos = jnp.minimum(dense[..., 5], 1.0)  # collisions: clamp
     t_anchor = jnp.broadcast_to(anchors_feat[None, None, None], (b, h, w, a, 2))
     return {
         "pos": pos,

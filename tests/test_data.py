@@ -207,3 +207,28 @@ def test_loader_workers_deterministic_vs_serial(toy_dataset):
     for a, b in zip(serial, threaded):
         np.testing.assert_array_equal(a["images"], b["images"])
         np.testing.assert_array_equal(a["labels"], b["labels"])
+
+
+def test_full_category_descriptors():
+    """imagenet/kinetics-400/ucf101/sports-1m ship FULL category lists
+    (ref datasets/data/*.yaml) as package data."""
+    from fastvision_tpu.data import categories_for, make_descriptor
+
+    expected = {"imagenet": 1000, "kinetics400": 400, "ucf101": 101,
+                "sports1m": 487}
+    for name, n in expected.items():
+        cats = categories_for(name)
+        assert len(cats) == n
+        # imagenet famously names BOTH class 134 (bird) and 517 (machine)
+        # "crane" — the one legitimate duplicate
+        dupes = n - len(set(cats))
+        assert dupes == (1 if name == "imagenet" else 0)
+        assert all(isinstance(c, str) and c for c in cats)
+    assert categories_for("imagenet")[0].startswith("tench")
+    assert "ApplyEyeMakeup" in categories_for("ucf101")
+    desc = make_descriptor("kinetics400", "/data/k400")
+    assert len(desc["data"]["categories"]) == 400
+    import pytest
+
+    with pytest.raises(KeyError):
+        categories_for("nope")

@@ -224,3 +224,77 @@ def test_ema_tracking(det_data, tmp_path):
     # eval_state exposes the EMA weights
     ev = np.asarray(jax.tree.leaves(fit.eval_state().params)[0])
     np.testing.assert_array_equal(ev, ema)
+
+
+def _leaf(tree):
+    return np.asarray(jax.tree.leaves(tree)[0])
+
+
+def test_batch_stats_checkpointed_and_resumed(det_data, tmp_path):
+    """ADVICE r1 (high): BN running stats must survive save/restore — all
+    models use ConvBN, so restoring params onto fresh (mean 0, var 1) stats
+    produces garbage inference."""
+    fit = make_yolo_fit(det_data, tmp_path, epochs=1)
+    fit.run()
+    assert "batch_stats" in fit.ckpt.available_items()
+    trained = jax.device_get(fit.state.batch_stats)
+    fit2 = make_yolo_fit(det_data, tmp_path, epochs=2, resume=True)
+    resumed = jax.device_get(fit2.state.batch_stats)
+    jax.tree.map(np.testing.assert_array_equal, resumed, trained)
+    # sanity: trained stats differ from a fresh init (mean exactly 0)
+    fresh_means = [l for p, l in jax.tree_util.tree_flatten_with_path(trained)[0]
+                   if "mean" in str(p)]
+    assert any(np.abs(np.asarray(m)).max() > 0 for m in fresh_means)
+
+
+def test_ema_resume_restores_both_trees(det_data, tmp_path):
+    """ADVICE r1 (medium): resume must restore raw params AND the EMA
+    shadow — not rebuild EMA from the fresh init, nor train from EMA."""
+    fit = make_yolo_fit(det_data, tmp_path, epochs=2, ema_decay=0.9)
+    fit.run()
+    fit2 = make_yolo_fit(det_data, tmp_path, epochs=3, resume=True, ema_decay=0.9)
+    np.testing.assert_array_equal(_leaf(fit2.state.params), _leaf(fit.state.params))
+    np.testing.assert_array_equal(_leaf(fit2.ema_params), _leaf(fit.ema_params))
+    assert not np.allclose(_leaf(fit2.ema_params), _leaf(fit2.state.params))
+
+
+def test_best_checkpoint_durable_and_persistent(tmp_path):
+    """ADVICE r1 (medium): the best checkpoint must survive retention GC of
+    old steps, ties must not count as improvements, and the best metric
+    must persist across manager restarts."""
+    from fastvision_tpu.core.checkpoint import CheckpointManager
+
+    like = {"w": np.ones(3, np.float32)}
+    mgr = CheckpointManager(str(tmp_path / "ck"), max_to_keep=2)
+    mgr.save(0, {"w": np.full(3, 0.0, np.float32)}, metric=0.5,
+             higher_is_better=False)
+    for s in range(1, 5):  # worse metrics age step 0 out of max_to_keep=2
+        mgr.save(s, {"w": np.full(3, float(s), np.float32)}, metric=0.5 + s,
+                 higher_is_better=False)
+    mgr.wait()
+    assert 0 not in (mgr._mgr.all_steps() or [])  # GC'd from the run dir
+    best = mgr.restore(best=True, like={"params": like})
+    np.testing.assert_array_equal(best["state"]["params"]["w"], 0.0)
+    # restart: best metric reloads from best.json; a TIE is not better
+    mgr2 = CheckpointManager(str(tmp_path / "ck"), max_to_keep=2)
+    assert mgr2._best_metric == 0.5
+    mgr2.save(5, {"w": np.full(3, 5.0, np.float32)}, metric=0.5,
+              higher_is_better=False)
+    mgr2.wait()
+    best = mgr2.restore(best=True, like={"params": like})
+    np.testing.assert_array_equal(best["state"]["params"]["w"], 0.0)
+
+
+def test_empty_loader_raises(det_data, tmp_path):
+    fit = make_yolo_fit(det_data, tmp_path, epochs=1)
+
+    class Empty:
+        def epoch(self, e):
+            return iter(())
+
+        def __len__(self):
+            return 0
+
+    fit.train_loader = Empty()
+    with pytest.raises(ValueError, match="zero batches"):
+        fit.run()

@@ -197,3 +197,49 @@ def test_yolo_loss_neighbor_cells_trains(rng):
 
     g = jax.grad(lambda hs: loss(hs, make_labels()).total)(heads)
     assert np.isfinite(sum(float(jnp.abs(x).sum()) for x in g))
+
+
+def test_dense_targets_collision_consistent():
+    """ADVICE r1 (low): when two GTs match the same cell/anchor slot, the
+    scattered box and class must come from the SAME GT (single fused
+    scatter), never box-from-one + class-from-the-other."""
+    from fastvision_tpu.train.losses import _dense_targets
+
+    anchors_feat = jnp.asarray([[2.0, 2.0]])
+    gts = [(1, 0.52, 0.52, 0.25, 0.25), (3, 0.55, 0.55, 0.30, 0.30)]
+    labels = jnp.asarray([[list(g) for g in gts]], jnp.float32)
+    t = _dense_targets(labels, anchors_feat, (8, 8), ratio_thres=4.0)
+    pos = np.asarray(t["pos"])[0]
+    ys, xs, aa = np.nonzero(pos)
+    assert len(ys) == 1  # both GTs collide into one slot, clamped to 1
+    y, x, a = int(ys[0]), int(xs[0]), int(aa[0])
+    cls = int(np.asarray(t["cls"])[0, y, x, a])
+    box = np.asarray(t["box"])[0, y, x, a]
+    expected = {
+        c: np.array([cx * 8 - x, cy * 8 - y, wn * 8, hn * 8], np.float32)
+        for c, cx, cy, wn, hn in gts
+    }
+    assert cls in expected
+    np.testing.assert_allclose(box, expected[cls], rtol=1e-5)
+
+
+def test_binary_focal_loss():
+    """gamma=0 + alpha=None degenerates to BCE; gamma>0 down-weights easy
+    examples (ref RPN FocalLoss, rpn.py:312)."""
+    from fastvision_tpu.train.losses import binary_cross_entropy, binary_focal_loss
+
+    logits = jnp.asarray([2.0, -1.0, 0.5, -3.0])
+    targets = jnp.asarray([1.0, 0.0, 0.0, 1.0])
+    np.testing.assert_allclose(
+        binary_focal_loss(logits, targets, gamma=0.0),
+        binary_cross_entropy(logits, targets), rtol=1e-6)
+    # easy positive (logit 2, target 1): focal << bce; per-element check
+    f = binary_focal_loss(logits, targets, gamma=2.0, reduction="none")
+    b = binary_cross_entropy(logits, targets, reduction="none")
+    assert float(f[0]) < 0.2 * float(b[0])
+    # hard positive keeps most of its weight
+    assert float(f[3]) > 0.8 * float(b[3])
+    # alpha weighting scales pos vs neg terms
+    fa = binary_focal_loss(logits, targets, gamma=0.0, alpha=0.25, reduction="none")
+    np.testing.assert_allclose(np.asarray(fa[0]), 0.25 * np.asarray(b[0]), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(fa[1]), 0.75 * np.asarray(b[1]), rtol=1e-6)

@@ -45,3 +45,26 @@ def test_time_sharded_conv_jits(rng):
     with mesh:
         out = run(clip)
     assert out.shape == (1, 16, 2, 2, 2)
+
+
+def test_slowfast_time_sharded_matches_unsharded(rng):
+    """SlowFast with time_axis='time' under a time mesh == the unsharded
+    model (GSPMD partitions the fast pathway's temporal convs with halo
+    exchange; VERDICT r1 item 7)."""
+    from fastvision_tpu.models.video.slowfast import SlowFast
+    from fastvision_tpu.models.video.resnet3d import SpatioTemporalBlock
+
+    kw = dict(block_cls=SpatioTemporalBlock, stage_sizes=(1, 1, 1, 1),
+              num_classes=5, alpha=4, beta_inv=4)
+    plain = SlowFast(**kw)
+    sharded = SlowFast(**kw, time_axis="time")
+
+    b, t, s = 2, 8, 32
+    clip = jnp.asarray(rng.normal(0, 1, (b, t, s, s, 3)), jnp.float32)
+    variables = plain.init(jax.random.key(0), clip, train=False)
+
+    want = plain.apply(variables, clip, train=False)
+    mesh = create_mesh(data=1, model=1, time=4, devices=jax.devices()[:4])
+    with mesh:
+        got = jax.jit(lambda v, x: sharded.apply(v, x, train=False))(variables, clip)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-4, atol=2e-5)
