@@ -35,6 +35,74 @@ def imread_rgb(path: str) -> np.ndarray:
     return cv2.cvtColor(img, cv2.COLOR_BGR2RGB)
 
 
+# SOF markers that carry frame dimensions (all except DHT C4, JPG C8, DAC CC)
+_JPEG_SOF = frozenset(range(0xC0, 0xD0)) - {0xC4, 0xC8, 0xCC}
+
+
+def jpeg_dimensions(path: str, max_header: int = 262144) -> tuple[int, int] | None:
+    """(height, width) from the JPEG SOF header without decoding pixels.
+
+    Returns None for non-JPEG files or headers longer than `max_header`
+    (callers fall back to a full decode)."""
+    with open(path, "rb") as f:
+        data = f.read(max_header)
+    if data[:2] != b"\xff\xd8":
+        return None
+    i = 2
+    n = len(data)
+    while i + 9 < n:
+        if data[i] != 0xFF:
+            i += 1
+            continue
+        marker = data[i + 1]
+        if marker == 0xFF:  # fill byte
+            i += 1
+            continue
+        if marker in _JPEG_SOF:
+            return (
+                int.from_bytes(data[i + 5 : i + 7], "big"),
+                int.from_bytes(data[i + 7 : i + 9], "big"),
+            )
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:  # standalone
+            i += 2
+            continue
+        i += 2 + int.from_bytes(data[i + 2 : i + 4], "big")
+    return None
+
+
+def imread_rgb_scaled(path: str, target_size: int) -> tuple[np.ndarray, tuple[int, int]]:
+    """JPEG decode with libjpeg DCT-domain downscaling when the image is
+    >= 2x/4x/8x larger than `target_size` on its long side — ~3-4x cheaper
+    than full decode + resize (replaces the full-decode letterbox path of
+    ref datasets/detection_dataloader.py:43-79 for large images).
+
+    Returns (rgb image — possibly reduced, TRUE original (h, w)). The
+    reduced dims are ceil(orig / factor), so callers that need exact
+    original-pixel coordinates must scale per-axis by (reduced/orig)."""
+    import cv2
+
+    dims = (
+        jpeg_dimensions(path)
+        if path.lower().endswith((".jpg", ".jpeg"))
+        else None
+    )
+    if dims is not None:
+        oh, ow = dims
+        m = max(oh, ow)
+        for factor, flag in (
+            (8, cv2.IMREAD_REDUCED_COLOR_8),
+            (4, cv2.IMREAD_REDUCED_COLOR_4),
+            (2, cv2.IMREAD_REDUCED_COLOR_2),
+        ):
+            if m >= factor * target_size:
+                img = cv2.imread(path, flag)
+                if img is not None:
+                    return cv2.cvtColor(img, cv2.COLOR_BGR2RGB), (oh, ow)
+                break  # undecodable reduced -> full fallback
+    img = imread_rgb(path)
+    return img, img.shape[:2]
+
+
 def read_label_file(path: str) -> np.ndarray:
     """labels/<id>.txt -> [N, 5] float32 (cls, x1, y1, x2, y2) pixels."""
     if not os.path.exists(path):
@@ -104,10 +172,17 @@ class DetectionDataset:
     cached to `<split_dir>/.samples.json` when `cache=True`.
     """
 
-    def __init__(self, root: str, split: str = "train", cache: bool = False):
+    def __init__(self, root: str, split: str = "train", cache: bool = False,
+                 decode_size: int | None = None):
+        """`decode_size`: when set, JPEGs >= 2x larger than it are decoded
+        reduced (libjpeg DCT scaling; see imread_rgb_scaled) and the labels
+        are rescaled into the reduced image's pixel space — everything
+        downstream stays self-consistent, just cheaper. Leave None when
+        exact original-pixel coordinates matter."""
         self.dir = os.path.join(root, split)
         self.images_dir = os.path.join(self.dir, "images")
         self.labels_dir = os.path.join(self.dir, "labels")
+        self.decode_size = decode_size
         self.ids = self._scan(cache)
 
     def _scan(self, cache: bool) -> list[str]:
@@ -136,8 +211,16 @@ class DetectionDataset:
         raise FileNotFoundError(base)
 
     def __getitem__(self, idx: int):
-        image = imread_rgb(self.image_path(idx))
         labels = read_label_file(os.path.join(self.labels_dir, self.ids[idx] + ".txt"))
+        if self.decode_size:
+            image, (oh, ow) = imread_rgb_scaled(self.image_path(idx), self.decode_size)
+            rh, rw = image.shape[:2]
+            if (rh, rw) != (oh, ow) and len(labels):
+                labels = labels.copy()
+                labels[:, [1, 3]] *= rw / ow
+                labels[:, [2, 4]] *= rh / oh
+        else:
+            image = imread_rgb(self.image_path(idx))
         return image, labels, self.ids[idx]
 
 

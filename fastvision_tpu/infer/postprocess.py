@@ -8,15 +8,19 @@ import numpy as np
 
 def scale_coords(
     boxes_xyxy: np.ndarray,
-    scale: float,
+    scale,
     pad: tuple[int, int],
     orig_hw: tuple[int, int],
 ) -> np.ndarray:
-    """Boxes in letterboxed input space -> original-image pixels, clipped."""
+    """Boxes in letterboxed input space -> original-image pixels, clipped.
+
+    `scale` is a scalar, or an (sx, sy) pair when the preprocess chain had
+    anisotropic steps (reduced JPEG decode rounds h and w independently)."""
     boxes = np.asarray(boxes_xyxy, np.float32).reshape(-1, 4).copy()
     px, py = pad
-    boxes[:, [0, 2]] = (boxes[:, [0, 2]] - px) / scale
-    boxes[:, [1, 3]] = (boxes[:, [1, 3]] - py) / scale
+    sx, sy = (scale, scale) if np.isscalar(scale) else scale
+    boxes[:, [0, 2]] = (boxes[:, [0, 2]] - px) / sx
+    boxes[:, [1, 3]] = (boxes[:, [1, 3]] - py) / sy
     h, w = orig_hw
     boxes[:, [0, 2]] = boxes[:, [0, 2]].clip(0, w)
     boxes[:, [1, 3]] = boxes[:, [1, 3]].clip(0, h)

@@ -222,14 +222,33 @@ class Detector:
             writer.release()
         return count
 
-    def predict_dataset(self, dataset) -> Iterator[tuple[dict, np.ndarray]]:
+    def predict_dataset(
+        self, dataset, fast_decode: bool = True
+    ) -> Iterator[tuple[dict, np.ndarray]]:
         """Prefetch-overlapped inference over a DetectionDataset: the host
         decodes/letterboxes batch k+1 in a background thread while the
         device runs batch k (the jpeg->boxes north-star path).
 
+        `fast_decode` turns on reduced JPEG decode for >=2x oversized
+        images (GT labels are rescaled with the image, so the mAP matching
+        stays self-consistent; see DetectionDataset.decode_size).
+
         Yields ({boxes, scores, classes} in original pixels, gt_labels)."""
+        import copy
+
         from ..data.pipeline import DetectionLoader, prefetch_to_device
 
+        def with_fast_decode(ds):
+            if getattr(ds, "decode_size", None) is None and hasattr(ds, "images_dir"):
+                ds = copy.copy(ds)
+                ds.decode_size = self.input_size
+            return ds
+
+        if fast_decode:
+            if isinstance(dataset, _Subset):
+                dataset = _Subset(with_fast_decode(dataset.ds), dataset.n)
+            else:
+                dataset = with_fast_decode(dataset)
         loader = DetectionLoader(
             dataset, self.input_size, self.batch_size, max_boxes=1,
             train=False, drop_last=False,
