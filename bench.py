@@ -10,19 +10,24 @@ A100 estimate of 250 img/s for batched PyTorch fp16 YOLOv3-416 e2e with NMS
 (~4 ms/img), so vs_baseline = value / 250. The reference's only measured
 number is training: ~21 img/s/GPU (BASELINE.md, bs32 @608 on 2 GPUs).
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line. The headline value is the device-path throughput;
+two honest auxiliary numbers ride along as extra fields:
+  - jpeg2boxes_img_s: Detector.predict_dataset from JPEG files on disk
+    (host decode + letterbox + H2D + forward + decode + NMS + unscale),
+    COCO-like 640x480 inputs — the true user-facing path. Host-bound on
+    few-core machines.
+  - train_img_s: jitted YOLOv3 train step (fwd + loss + bwd + SGD update)
+    at the reference's own bs32@416 config from device-resident batches.
 """
 import json
+import os
 import sys
 import time
 
 import numpy as np
 
 
-def main():
-    import jax
-    import jax.numpy as jnp
-
+def device_path(jax, jnp):
     from fastvision_tpu.infer import decode_predictions
     from fastvision_tpu.models.detection import YOLOv3
     from fastvision_tpu.ops import COCO_ANCHORS, batched_non_max_suppression
@@ -49,20 +54,94 @@ def main():
     images = jnp.asarray(rng.uniform(0, 1, (B, S, S, 3)), jnp.bfloat16)
 
     det = jax.block_until_ready(infer(variables, images))  # compile
-    # timed steady-state
     iters = 10
     t0 = time.perf_counter()
     for _ in range(iters):
         det = infer(variables, images)
     jax.block_until_ready(det.boxes)
     dt = (time.perf_counter() - t0) / iters
-    ips = B / dt
+    return B / dt, model, variables, anchors
+
+
+def jpeg_to_boxes(jax, jnp, model, variables, anchors, n_images=256):
+    """Detector.predict_dataset throughput from JPEG bytes on disk."""
+    import cv2
+
+    from fastvision_tpu.data import DetectionDataset
+    from fastvision_tpu.infer import Detector
+
+    root = "/tmp/bench_jpegs"
+    img_dir = os.path.join(root, "val", "images")
+    have = len(os.listdir(img_dir)) if os.path.isdir(img_dir) else 0
+    if have < n_images:
+        os.makedirs(img_dir, exist_ok=True)
+        os.makedirs(os.path.join(root, "val", "labels"), exist_ok=True)
+        rng = np.random.default_rng(0)
+        for i in range(n_images):  # COCO-val-like 640x480 JPEGs
+            img = rng.integers(0, 255, (480, 640, 3), np.uint8)
+            img = cv2.GaussianBlur(img, (7, 7), 0)
+            cv2.imwrite(os.path.join(img_dir, f"{i:05d}.jpg"), img,
+                        [cv2.IMWRITE_JPEG_QUALITY, 90])
+
+    det = Detector(model, variables, anchors, input_size=416, batch_size=32,
+                   dtype=jnp.bfloat16)
+    ds = DetectionDataset(root, "val")
+    for _ in det.predict_dataset(ds):  # warmup pass: compile bs32 program
+        break
+    t0 = time.perf_counter()
+    n = sum(1 for _ in det.predict_dataset(ds))
+    return n / (time.perf_counter() - t0)
+
+
+def train_path(jax, jnp, model, variables, anchors):
+    """Reference train config: bs32 @416 (its published number is bs32@608
+    on 2 GPUs, ~21 img/s/GPU; BASELINE.md)."""
+    from fastvision_tpu.train import TrainState, YOLOv3Loss, build_optimizer, make_train_step
+
+    B, S = 32, 416
+    loss_obj = YOLOv3Loss(jnp.asarray(anchors), num_classes=80)
+
+    def loss_fn(heads, batch):
+        out = loss_obj(heads, batch["labels"])
+        return out.total, {}
+
+    tx = build_optimizer("sgd", variables["params"], weight_decay=5e-4)
+    step = make_train_step(model.apply, loss_fn, tx)
+    state = TrainState.create(variables, tx)
+    rng = np.random.default_rng(0)
+    labels = np.full((B, 32, 5), -1, np.float32)
+    labels[:, :4] = rng.uniform(0.2, 0.6, (B, 4, 5))
+    labels[:, :4, 0] = rng.integers(0, 80, (B, 4))
+    batch = {
+        "images": jnp.asarray(rng.uniform(0, 1, (B, S, S, 3)), jnp.bfloat16),
+        "labels": jnp.asarray(labels),
+    }
+    state, metrics = step(state, batch, 1e-3)
+    jax.block_until_ready(metrics["loss"])  # compile
+    iters = 8
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        state, metrics = step(state, batch, 1e-3)
+    jax.block_until_ready(metrics["loss"])
+    return B * iters / (time.perf_counter() - t0)
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    ips, model, variables, anchors = device_path(jax, jnp)
+    e2e = jpeg_to_boxes(jax, jnp, model, variables, anchors)
+    # fresh fp32-master variables for training (bench model is bf16-act)
+    train_ips = train_path(jax, jnp, model, variables, anchors)
 
     print(json.dumps({
         "metric": "YOLOv3-416 e2e images/sec/chip (fwd+decode+NMS, bf16, bs128)",
         "value": round(ips, 1),
         "unit": "img/s/chip",
         "vs_baseline": round(ips / 250.0, 3),
+        "jpeg2boxes_img_s": round(e2e, 1),
+        "train_img_s_bs32_416": round(train_ips, 1),
     }))
 
 

@@ -61,9 +61,13 @@ def run(model: str, out: str, epochs: int, batch_size: int, lr: float,
     elif model == "faster_rcnn":
         train_over = [
             "model.name=faster_rcnn",
+            # toy shapes are 40-106 px; stride-16 anchors need small scales
+            "model.anchor_scales=[2,4,6]",
+            "nms.conf_thres=0.05",
             f"train.epochs={epochs}", f"train.lr={lr}",
             "train.optimizer=sgd", "train.grad_clip_norm=10.0",
             f"train.eval_every={eval_every or max(epochs // 4, 1)}",
+            "train.save_every_epoch=false",
         ]
     else:
         raise SystemExit(f"unknown model {model!r}")

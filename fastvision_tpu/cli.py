@@ -8,7 +8,8 @@ Unifies the reference's per-demo run.py argparse entries
     python -m fastvision_tpu infer  --config cfg.yaml --source img_or_dir
     python -m fastvision_tpu serve  --config cfg.yaml --port 8080
     python -m fastvision_tpu convert --kind coco --ann a.json --images d/ --out o/
-    python -m fastvision_tpu anchors --config cfg.yaml -k 9
+    python -m fastvision_tpu anchors --config cfg.yaml -k 9 --init ++
+    python -m fastvision_tpu export  --config cfg.yaml --ckpt ckpts/ --out sm/
 
 Config = dataclass tree <- YAML <- dotted overrides (core.config); dataset
 descriptors use the reference's YAML schema (data_root, dirs, num_classes,
@@ -185,6 +186,8 @@ def _train_faster_rcnn(cfg, args):
     model = FasterRCNN(
         num_classes=cfg.model.num_classes, image_size=size,
         dtype=jnp.bfloat16 if cfg.train.bf16 else jnp.float32,
+        **({"anchor_scales": tuple(cfg.model.anchor_scales)}
+           if cfg.model.anchor_scales else {}),
     )
     labels0 = jnp.full((2, cfg.data.max_boxes, 5), -1, jnp.float32)
     variables = model.init(
@@ -412,11 +415,35 @@ def cmd_anchors(args, overrides):
     from .ops.anchors import AnchorGenerator
 
     ds = DetectionDataset(cfg.data.data_root, cfg.data.train_dir)
-    gen = AnchorGenerator(datasets=[ds], k=args.k, cache_dir=args.cache_dir)
+    gen = AnchorGenerator(datasets=[ds], k=args.k, cache_dir=args.cache_dir,
+                          init=args.init)
     anchors = gen.get_anchors()
     print("anchors (w, h), area-ascending:")
     for w, h in anchors:
         print(f"  {w:.1f} {h:.1f}")
+
+
+def cmd_export(args, overrides):
+    """Export the detector program (fwd + decode + NMS) as a SavedModel."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    cfg = _load_config(args, overrides)
+    det = _detector_from_cfg(cfg, args.ckpt)
+    from .infer.export import export_savedmodel
+
+    example = np.zeros((args.batch, cfg.data.input_size, cfg.data.input_size, 3),
+                       np.uint8)
+
+    def infer_fn(variables, images_u8):
+        d = det._infer(variables, jnp.asarray(images_u8))
+        return {"boxes": d.boxes, "scores": d.scores,
+                "classes": d.classes, "valid": d.valid}
+
+    path = export_savedmodel(infer_fn, det.variables, [example], args.out,
+                             input_names=["images"])
+    print(f"SavedModel (batch {args.batch}, {cfg.data.input_size}px, "
+          f"uint8 NHWC in, boxes/scores/classes/valid out) -> {path}")
 
 
 def main(argv=None):
@@ -455,6 +482,11 @@ def main(argv=None):
     p = common(sub.add_parser("anchors"))
     p.add_argument("-k", type=int, default=9)
     p.add_argument("--cache-dir", default="./cache")
+    p.add_argument("--init", choices=["random", "++"], default="random")
+    p = common(sub.add_parser("export"))
+    p.add_argument("--ckpt", default="")
+    p.add_argument("--out", required=True)
+    p.add_argument("--batch", type=int, default=1)
 
     args, overrides = parser.parse_known_args(argv)
     overrides = [o for o in overrides if "=" in o]
@@ -466,6 +498,7 @@ def main(argv=None):
         "serve": cmd_serve,
         "convert": cmd_convert,
         "anchors": cmd_anchors,
+        "export": cmd_export,
     }[args.cmd](args, overrides)
 
 

@@ -128,6 +128,8 @@ class ModelConfig:
     num_classes: int = 80
     pretrained: str = ""  # checkpoint path (ours or torch)
     freeze: list = field(default_factory=list)  # param-name substrings
+    # faster_rcnn: RPN anchor scales (x stride pixels); [] = model default
+    anchor_scales: list = field(default_factory=list)
 
 
 @dataclass

@@ -48,6 +48,8 @@ class Detector:
         dtype=jnp.bfloat16,
         mesh=None,  # multi-chip serving: batch sharded over the 'data' axis
         multi_label: bool = False,  # serving NMS variant (customize_service.py:453)
+        device_letterbox: bool = False,  # resize+pad on device (ops/image.py)
+        canvas_hw: tuple[int, int] = (640, 640),  # host decode canvas when on
     ):
         self.mesh = mesh
         self.variables = variables
@@ -87,6 +89,24 @@ class Detector:
 
         self._infer = jax.jit(_infer)
 
+        self.device_letterbox = device_letterbox
+        self.canvas_hw = canvas_hw
+        if device_letterbox:
+            from ..ops.image import letterbox_batch
+
+            def _infer_canvas(v, canvas_u8, sizes_hw):
+                imgs, scales, pads = letterbox_batch(
+                    canvas_u8, sizes_hw, input_size, dtype=dtype
+                )
+                # letterbox_batch yields float pixels in [0, 255]; normalize
+                # handles float input (divide + cast) without a uint8 trip
+                x = normalize_images(imgs, dtype, imagenet=imagenet)
+                heads = model.apply(v, x, train=False)
+                pred = decode_predictions(heads, self.anchors, strides, decode_style)
+                return _nms(pred.astype(jnp.float32)), scales, pads
+
+            self._infer_canvas = jax.jit(_infer_canvas)
+
     def _to_device(self, batch: np.ndarray):
         if self.mesh is None:
             return jnp.asarray(batch)
@@ -112,6 +132,8 @@ class Detector:
             for i in range(0, n, self.batch_size):
                 out.extend(self.predict_batch(images[i : i + self.batch_size]))
             return out
+        if self.device_letterbox:
+            return self._predict_batch_canvas(images)
         batch, metas = preprocess_batch(images, self.input_size)
         if n < self.batch_size:  # pad to the compiled batch size
             batch = np.concatenate([batch, np.repeat(batch[-1:], self.batch_size - n, 0)])
@@ -128,6 +150,45 @@ class Detector:
 
     def predict_image(self, image: np.ndarray | str, tta: bool = False) -> dict:
         return self.predict_batch([image], tta=tta)[0]
+
+    def _predict_batch_canvas(self, images: Sequence[np.ndarray | str]) -> list[dict]:
+        """device_letterbox path: host decodes into a fixed uint8 canvas (no
+        resize); the jitted program letterboxes + normalizes + infers
+        (ops/image.py letterbox_batch — the north-star on-device pipeline)."""
+        from ..data.dataset import imread_rgb_scaled
+        from ..ops.image import pack_canvas
+
+        n = len(images)
+        arrs, origs = [], []
+        for im in images:
+            if isinstance(im, str):
+                a, ohw = imread_rgb_scaled(im, self.input_size)
+            else:
+                a, ohw = im, im.shape[:2]
+            arrs.append(a)
+            origs.append(ohw)
+        canvas, sizes = pack_canvas(arrs, *self.canvas_hw)
+        if n < self.batch_size:
+            reps = self.batch_size - n
+            canvas = np.concatenate([canvas, np.repeat(canvas[-1:], reps, 0)])
+            sizes = np.concatenate([sizes, np.repeat(sizes[-1:], reps, 0)])
+        det, scales, pads = jax.device_get(
+            self._infer_canvas(self.variables, self._to_device(canvas),
+                               jnp.asarray(sizes))
+        )
+        out = []
+        for i in range(n):
+            oh, ow = origs[i]
+            # chain content->letterbox device scale with the (reduced decode
+            # x canvas pre-shrink) factor back to TRUE original pixels
+            sx = float(scales[i, 0]) * float(sizes[i, 1]) / ow
+            sy = float(scales[i, 1]) * float(sizes[i, 0]) / oh
+            v = det.valid[i]
+            boxes = scale_coords(det.boxes[i][v], (sx, sy),
+                                 (int(pads[i, 0]), int(pads[i, 1])), (oh, ow))
+            out.append({"boxes": boxes, "scores": det.scores[i][v],
+                        "classes": det.classes[i][v]})
+        return out
 
     def _predict_tta(self, images: Sequence[np.ndarray | str]) -> list[dict]:
         """Horizontal-flip test-time augmentation.

@@ -29,6 +29,13 @@ from .nms import (
     non_max_suppression_multilabel,
 )
 from .anchors import COCO_ANCHORS, AnchorGenerator, kmeans_anchors
+from .image import (
+    hflip_boxes_xywhn,
+    hflip_images,
+    letterbox_batch,
+    letterbox_single,
+    pack_canvas,
+)
 from .box_coder import decode_boxes, encode_boxes
 from .roi_align import roi_align, roi_align_mxu, roi_align_single
 from .accuracy import Accuracy, accuracy

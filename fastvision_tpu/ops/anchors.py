@@ -25,13 +25,31 @@ def _wh_iou_matrix_np(wh1: np.ndarray, wh2: np.ndarray, eps: float = 1e-7) -> np
     return inter / union
 
 
+def _kmeanspp_init(wh: np.ndarray, k: int, rng: np.random.Generator) -> np.ndarray:
+    """k-means++ seeding under the (1 - wh-IoU) metric: each next center is
+    sampled proportionally to its squared distance from the nearest chosen
+    center — spreads seeds across scales, more stable than uniform picks."""
+    centers = np.empty((k, 2), np.float64)
+    centers[0] = wh[rng.integers(wh.shape[0])]
+    d2 = (1.0 - _wh_iou_matrix_np(wh, centers[:1])[:, 0]) ** 2
+    for i in range(1, k):
+        p = d2 / max(d2.sum(), 1e-12)
+        centers[i] = wh[rng.choice(wh.shape[0], p=p)]
+        d_new = (1.0 - _wh_iou_matrix_np(wh, centers[i : i + 1])[:, 0]) ** 2
+        d2 = np.minimum(d2, d_new)
+    return centers
+
+
 def kmeans_anchors(
-    wh: np.ndarray, k: int = 9, iters: int = 100, seed: int = 0
+    wh: np.ndarray, k: int = 9, iters: int = 100, seed: int = 0,
+    init: str = "random",
 ) -> tuple[np.ndarray, np.ndarray]:
     """K-means with (1 - wh-IoU) distance. Ref: ANCHOR.py:11 KMeans.
 
     Args:
       wh: [N, 2] box widths/heights (any consistent unit).
+      init: 'random' (reference behavior: uniform sample of k boxes) or
+        '++' (k-means++ seeding under the IoU metric).
     Returns:
       (centers [k, 2] sorted by area ascending, assignment [N] in [0, k)).
     """
@@ -39,7 +57,12 @@ def kmeans_anchors(
     if wh.shape[0] < k:
         raise ValueError(f"need at least k={k} boxes, got {wh.shape[0]}")
     rng = np.random.default_rng(seed)
-    centers = wh[rng.permutation(wh.shape[0])[:k]].copy()
+    if init == "++":
+        centers = _kmeanspp_init(wh, k, rng)
+    elif init == "random":
+        centers = wh[rng.permutation(wh.shape[0])[:k]].copy()
+    else:
+        raise ValueError(f"init must be 'random' or '++', got {init!r}")
     assign = np.zeros(wh.shape[0], np.int64)
     for _ in range(iters):
         dist = 1.0 - _wh_iou_matrix_np(wh, centers)
@@ -71,6 +94,7 @@ class AnchorGenerator:
         cache_dir: str = "./cache",
         use_cache: bool = False,
         seed: int = 0,
+        init: str = "random",
     ):
         self.datasets = datasets or []
         self.k = k
@@ -78,6 +102,7 @@ class AnchorGenerator:
         self.cache_path = os.path.join(cache_dir, "anchors.json")
         self.use_cache = use_cache
         self.seed = seed
+        self.init = init
 
     def _scan_wh(self) -> np.ndarray:
         whs = []
@@ -95,7 +120,8 @@ class AnchorGenerator:
                 return np.asarray(json.load(f), np.float32).reshape(-1, 2)
         if wh is None:
             wh = self._scan_wh()
-        centers, _ = kmeans_anchors(wh, k=self.k, iters=self.iters, seed=self.seed)
+        centers, _ = kmeans_anchors(wh, k=self.k, iters=self.iters,
+                                    seed=self.seed, init=self.init)
         centers = centers.astype(np.float32)
         os.makedirs(os.path.dirname(self.cache_path), exist_ok=True)
         with open(self.cache_path, "w") as f:

@@ -49,3 +49,19 @@ def test_generator_scans_datasets(rng):
     gen = AnchorGenerator(datasets=[ds], k=3, iters=30, cache_dir="/tmp/fv_anchor_test")
     anchors = gen.get_anchors()
     assert anchors.shape == (3, 2)
+
+
+def test_kmeanspp_init_covers_clusters(rng):
+    """k-means++ seeding finds all three scale clusters (with k == 3 a
+    uniform draw often seeds two in one cluster; ++ spreads by distance)."""
+    wh = three_cluster_wh(rng)
+    centers, assign = kmeans_anchors(wh, k=3, iters=30, init="++")
+    # one center per cluster: areas separated by > 2x
+    areas = centers[:, 0] * centers[:, 1]
+    assert areas[1] > 2 * areas[0] and areas[2] > 2 * areas[1]
+    assert len(np.unique(assign)) == 3
+
+
+def test_kmeans_bad_init_rejected(rng):
+    with np.testing.assert_raises(ValueError):
+        kmeans_anchors(three_cluster_wh(rng), k=3, init="bogus")
