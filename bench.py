@@ -32,10 +32,10 @@ def device_path(jax, jnp):
     from fastvision_tpu.models.detection import YOLOv3
     from fastvision_tpu.ops import COCO_ANCHORS, batched_non_max_suppression
 
-    # batch/pre-NMS sweep on v5e: bs32/K1024 778 -> bs64/K512 1286 ->
-    # bs128/K512 1610 img/s; K=512 keeps >500 candidates per image above
-    # conf 0.25 — no mAP impact at max_det 300.
-    B, S, C = 128, 416, 80
+    # batch/pre-NMS sweep on v5e (docs/PERF.md): bs32/K1024 778 -> bs128/K512
+    # 1626 -> bs256/K256 bf16-chain 1825 img/s; bs512 OOMs at init. K=256
+    # keeps >250 candidates per image above conf 0.25 at max_det 300.
+    B, S, C = 256, 416, 80
     anchors = jnp.asarray(COCO_ANCHORS.reshape(3, 3, 2)[::-1].copy())
     model = YOLOv3(num_classes=C, dtype=jnp.bfloat16)
     init_x = jnp.zeros((B, S, S, 3), jnp.bfloat16)
@@ -44,10 +44,12 @@ def device_path(jax, jnp):
     @jax.jit
     def infer(v, images):
         heads = model.apply(v, images, train=False)
+        # bf16 straight through decode + scoring; NMS upcasts the K
+        # selected boxes to fp32 internally (ops/nms.py)
         pred = decode_predictions(heads, anchors, (32, 16, 8), "v5")
         return batched_non_max_suppression(
-            pred.astype(jnp.float32), conf_thres=0.25, iou_thres=0.45,
-            max_det=300, pre_nms_top_k=512,
+            pred, conf_thres=0.25, iou_thres=0.45,
+            max_det=300, pre_nms_top_k=256,
         )
 
     rng = np.random.default_rng(0)
@@ -136,7 +138,7 @@ def main():
     train_ips = train_path(jax, jnp, model, variables, anchors)
 
     print(json.dumps({
-        "metric": "YOLOv3-416 e2e images/sec/chip (fwd+decode+NMS, bf16, bs128)",
+        "metric": "YOLOv3-416 e2e images/sec/chip (fwd+decode+NMS, bf16, bs256)",
         "value": round(ips, 1),
         "unit": "img/s/chip",
         "vs_baseline": round(ips / 250.0, 3),

@@ -120,7 +120,14 @@ def non_max_suppression(
     masked_scores = jnp.where(valid, scores_all, -jnp.inf)
     k = min(pre_nms_top_k, prediction.shape[0])
     top_scores, top_idx = jax.lax.top_k(masked_scores, k)
-    boxes = prediction[top_idx, :4]
+    # bf16 predictions are accepted (half the HBM traffic through decode +
+    # scoring); everything after the K-gather runs fp32 (no-op casts for
+    # fp32 input). Caveat: with bf16 input the top-K *selection* sees
+    # bf16-rounded scores, so near-tied candidates at the K boundary can
+    # swap vs an fp32 run — mAP-neutral for realistic confidence profiles
+    # (few confident boxes over a near-zero tail; driven on-chip 2026-08-16)
+    top_scores = top_scores.astype(jnp.float32)
+    boxes = prediction[top_idx, :4].astype(jnp.float32)
     if box_format == "xywh":
         boxes = xywh2xyxy(boxes)
     top_classes = classes_all[top_idx]
@@ -162,9 +169,10 @@ def non_max_suppression_multilabel(
     flat_scores = jnp.where(scores > conf_thres, scores, -jnp.inf).reshape(-1)
     k = min(pre_nms_top_k, n * c)
     top_scores, top_idx = jax.lax.top_k(flat_scores, k)
+    top_scores = top_scores.astype(jnp.float32)
     box_idx = top_idx // c
     top_classes = (top_idx % c).astype(jnp.int32)
-    boxes = prediction[box_idx, :4]
+    boxes = prediction[box_idx, :4].astype(jnp.float32)
     if box_format == "xywh":
         boxes = xywh2xyxy(boxes)
     nms_boxes = boxes + (top_classes.astype(boxes.dtype) * CLASS_OFFSET)[:, None]
