@@ -36,7 +36,8 @@ def device_path(jax, jnp):
     # 1626 -> bs256/K256 bf16-chain 1825 img/s; bs512 OOMs at init. K=256
     # keeps >250 candidates per image above conf 0.25 at max_det 300.
     B, S, C = 256, 416, 80
-    anchors = jnp.asarray(COCO_ANCHORS.reshape(3, 3, 2)[::-1].copy())
+    # numpy: a device-array jit closure degrades axon H2D 30x (docs/PERF.md)
+    anchors = COCO_ANCHORS.reshape(3, 3, 2)[::-1].astype(np.float32)
     model = YOLOv3(num_classes=C, dtype=jnp.bfloat16)
     init_x = jnp.zeros((B, S, S, 3), jnp.bfloat16)
     variables = model.init(jax.random.key(0), init_x, train=True)
@@ -55,12 +56,18 @@ def device_path(jax, jnp):
     rng = np.random.default_rng(0)
     images = jnp.asarray(rng.uniform(0, 1, (B, S, S, 3)), jnp.bfloat16)
 
-    det = jax.block_until_ready(infer(variables, images))  # compile
+    # sync via a small device_get, NOT block_until_ready: on the axon
+    # remote backend block_until_ready returns before remote execution
+    # completes (fully async queue; docs/PERF.md), which would inflate the
+    # number ~300x. The valid-mask fetch (77 KB) adds <0.5 ms/iter and the
+    # device stream serializes all queued executions before it resolves.
+    det = infer(variables, images)  # compile
+    np.asarray(det.valid)
     iters = 10
     t0 = time.perf_counter()
     for _ in range(iters):
         det = infer(variables, images)
-    jax.block_until_ready(det.boxes)
+    np.asarray(det.valid)
     dt = (time.perf_counter() - t0) / iters
     return B / dt, model, variables, anchors
 
@@ -85,8 +92,10 @@ def jpeg_to_boxes(jax, jnp, model, variables, anchors, n_images=256):
             cv2.imwrite(os.path.join(img_dir, f"{i:05d}.jpg"), img,
                         [cv2.IMWRITE_JPEG_QUALITY, 90])
 
+    # i420 halves the H2D bytes (the binding constraint on tunnel-attached
+    # dev hosts, docs/PERF.md); JPEG chroma is 4:2:0 already, lossless here
     det = Detector(model, variables, anchors, input_size=416, batch_size=32,
-                   dtype=jnp.bfloat16)
+                   dtype=jnp.bfloat16, input_format="i420")
     ds = DetectionDataset(root, "val")
     for _ in det.predict_dataset(ds):  # warmup pass: compile bs32 program
         break
@@ -101,7 +110,7 @@ def train_path(jax, jnp, model, variables, anchors):
     from fastvision_tpu.train import TrainState, YOLOv3Loss, build_optimizer, make_train_step
 
     B, S = 32, 416
-    loss_obj = YOLOv3Loss(jnp.asarray(anchors), num_classes=80)
+    loss_obj = YOLOv3Loss(anchors, num_classes=80)
 
     def loss_fn(heads, batch):
         out = loss_obj(heads, batch["labels"])
@@ -119,12 +128,12 @@ def train_path(jax, jnp, model, variables, anchors):
         "labels": jnp.asarray(labels),
     }
     state, metrics = step(state, batch, 1e-3)
-    jax.block_until_ready(metrics["loss"])  # compile
+    float(metrics["loss"])  # compile + drain (device_get is the real sync)
     iters = 8
     t0 = time.perf_counter()
     for _ in range(iters):
         state, metrics = step(state, batch, 1e-3)
-    jax.block_until_ready(metrics["loss"])
+    float(metrics["loss"])
     return B * iters / (time.perf_counter() - t0)
 
 

@@ -19,6 +19,8 @@ from __future__ import annotations
 
 import argparse
 
+import numpy as np
+
 
 def _load_config(args, overrides):
     from .core.config import Config, apply_overrides, from_yaml
@@ -37,7 +39,8 @@ def _build_detection(cfg, train: bool):
     from .models.detection import YOLOv3
     from .ops.anchors import COCO_ANCHORS
 
-    anchors = jnp.asarray(COCO_ANCHORS.reshape(3, 3, 2)[::-1].copy())
+    # numpy (not device): these anchors are captured by jit closures
+    anchors = COCO_ANCHORS.reshape(3, 3, 2)[::-1].astype(np.float32)
     anchors = anchors * (cfg.data.input_size / 416.0)
     model = YOLOv3(
         num_classes=cfg.model.num_classes,

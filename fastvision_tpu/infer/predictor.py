@@ -50,10 +50,20 @@ class Detector:
         multi_label: bool = False,  # serving NMS variant (customize_service.py:453)
         device_letterbox: bool = False,  # resize+pad on device (ops/image.py)
         canvas_hw: tuple[int, int] = (640, 640),  # host decode canvas when on
+        # 'rgb' ships uint8 RGB batches; 'i420' ships YUV 4:2:0 planes
+        # (half the host->device bytes) and color-converts on device
+        # (ops/image.py::i420_to_rgb) — the right choice on thin-pipe
+        # hosts where the device link bounds jpeg->boxes (docs/PERF.md)
+        input_format: str = "rgb",
     ):
         self.mesh = mesh
         self.variables = variables
-        self.anchors = jnp.asarray(anchors, jnp.float32)
+        # numpy, NOT a device array: jitted programs close over the
+        # anchors, and capturing a committed device buffer in a jit
+        # closure permanently degrades H2D transfer throughput on the
+        # axon relay (~1 GB/s -> ~30 MB/s; docs/PERF.md). A numpy
+        # closure bakes into the HLO as a constant instead.
+        self.anchors = np.asarray(anchors, np.float32)
         self.input_size = input_size
         self.batch_size = batch_size
         self.class_names = list(class_names) if class_names else None
@@ -88,6 +98,23 @@ class Detector:
             return _nms(pred.astype(jnp.float32))
 
         self._infer = jax.jit(_infer)
+
+        if input_format not in ("rgb", "i420"):
+            raise ValueError(f"input_format must be 'rgb' or 'i420', got {input_format!r}")
+        if input_format == "i420" and device_letterbox:
+            raise ValueError("input_format='i420' and device_letterbox are mutually exclusive")
+        self.input_format = input_format
+        if input_format == "i420":
+            from ..ops.image import i420_to_rgb
+
+            def _infer_i420(v, y, u, vv):
+                rgb = i420_to_rgb(y, u, vv, dtype)
+                x = normalize_images(rgb, dtype, imagenet=imagenet)
+                heads = model.apply(v, x, train=False)
+                pred = decode_predictions(heads, self.anchors, strides, decode_style)
+                return _nms(pred.astype(jnp.float32))
+
+            self._infer_i420 = jax.jit(_infer_i420)
 
         self.device_letterbox = device_letterbox
         self.canvas_hw = canvas_hw
@@ -137,8 +164,16 @@ class Detector:
         batch, metas = preprocess_batch(images, self.input_size)
         if n < self.batch_size:  # pad to the compiled batch size
             batch = np.concatenate([batch, np.repeat(batch[-1:], self.batch_size - n, 0)])
-        batch = self._to_device(batch)
-        det: Detections = jax.device_get(self._infer(self.variables, batch))
+        if self.input_format == "i420":
+            from ..ops.image import rgb_batch_to_i420
+
+            y, u, v = rgb_batch_to_i420(batch)
+            det: Detections = jax.device_get(self._infer_i420(
+                self.variables, self._to_device(y), self._to_device(u),
+                self._to_device(v)))
+        else:
+            batch = self._to_device(batch)
+            det = jax.device_get(self._infer(self.variables, batch))
         out = []
         for i in range(n):
             v = det.valid[i]
@@ -314,10 +349,28 @@ class Detector:
             dataset, self.input_size, self.batch_size, max_boxes=1,
             train=False, drop_last=False,
         )
-        for batch in prefetch_to_device(loader.epoch(0), mesh=None):
-            det: Detections = jax.device_get(
-                self._infer(self.variables, batch["images"])
-            )
+        if self.input_format == "i420":
+            from ..ops.image import rgb_batch_to_i420
+
+            def to_i420(batches):
+                # runs inside the prefetch worker thread -> conversion
+                # overlaps device compute; 'images' is replaced by the
+                # three planes (half the H2D bytes)
+                for b in batches:
+                    y, u, v = rgb_batch_to_i420(b.pop("images"))
+                    b.update(y=y, u=u, v=v)
+                    yield b
+
+            stream = prefetch_to_device(to_i420(loader.epoch(0)), mesh=None,
+                                        device_keys=("y", "u", "v"))
+        else:
+            stream = prefetch_to_device(loader.epoch(0), mesh=None)
+        for batch in stream:
+            if self.input_format == "i420":
+                det: Detections = jax.device_get(self._infer_i420(
+                    self.variables, batch["y"], batch["u"], batch["v"]))
+            else:
+                det = jax.device_get(self._infer(self.variables, batch["images"]))
             for i in range(batch["num_real"]):
                 meta = batch["meta"][i]
                 v = det.valid[i]

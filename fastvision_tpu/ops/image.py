@@ -97,6 +97,55 @@ def letterbox_batch(images, sizes_hw, out_size: int, pad_value: float = 114.0,
     )(images, sizes_hw)
 
 
+def i420_to_rgb(y, u, v, dtype=jnp.float32):
+    """On-device I420 (YUV 4:2:0) -> RGB float in [0, 255].
+
+    y: [B, S, S] uint8; u, v: [B, S/2, S/2] uint8. Matches
+    cv2.cvtColor(..., COLOR_YUV2RGB_I420): BT.601 full-range coefficients
+    with 2x nearest-neighbor chroma upsampling.
+
+    Why: the host->device link is the jpeg->boxes bottleneck on thin-pipe
+    hosts (tunnel/remote-device setups; docs/PERF.md). JPEG stores 4:2:0
+    chroma already, so shipping I420 instead of RGB halves the transfer
+    bytes (1.5 B/px vs 3 B/px) with no information the JPEG ever had being
+    lost; the upsample + color matrix fuse into the jitted program as
+    cheap elementwise work.
+    """
+    # cv2 uses studio-swing BT.601 (ITU-R): Y' = 1.164383*(Y-16)
+    yf = jnp.asarray(1.164383, dtype) * (y.astype(dtype) - 16.0)
+    uf = jnp.repeat(jnp.repeat(u.astype(dtype) - 128.0, 2, axis=1), 2, axis=2)
+    vf = jnp.repeat(jnp.repeat(v.astype(dtype) - 128.0, 2, axis=1), 2, axis=2)
+    r = yf + jnp.asarray(1.596027, dtype) * vf
+    g = yf - jnp.asarray(0.391762, dtype) * uf - jnp.asarray(0.812968, dtype) * vf
+    b = yf + jnp.asarray(2.017232, dtype) * uf
+    return jnp.clip(jnp.stack([r, g, b], axis=-1), 0.0, 255.0)
+
+
+def rgb_batch_to_i420(batch):
+    """HOST helper: [B, S, S, 3] uint8 RGB -> (y [B,S,S], u, v [B,S/2,S/2]).
+
+    Uses cv2's RGB2YUV_I420 (the exact inverse of `i420_to_rgb`). S must be
+    even. ~0.2 ms/img at 416; runs in the loader/prefetch worker so it
+    overlaps device compute."""
+    import cv2
+    import numpy as np
+
+    b, s, s2, _ = batch.shape
+    if s % 2 or s2 % 2:
+        raise ValueError(f"I420 needs even dims, got {(s, s2)}")
+    y = np.empty((b, s, s2), np.uint8)
+    u = np.empty((b, s // 2, s2 // 2), np.uint8)
+    v = np.empty((b, s // 2, s2 // 2), np.uint8)
+    quarter = (s // 2) * (s2 // 2)
+    for i in range(b):
+        yuv = cv2.cvtColor(batch[i], cv2.COLOR_RGB2YUV_I420)  # [S*3/2, S]
+        y[i] = yuv[:s]
+        chroma = yuv[s:].reshape(-1)
+        u[i] = chroma[:quarter].reshape(s // 2, s2 // 2)
+        v[i] = chroma[quarter:].reshape(s // 2, s2 // 2)
+    return y, u, v
+
+
 def hflip_images(images):
     """Horizontal flip, NHWC."""
     return images[:, :, ::-1, :]

@@ -26,6 +26,7 @@ from typing import NamedTuple, Sequence
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..ops.grid import grid as make_grid
 from ..ops.iou import box_iou, box_iou_matrix, wh_iou_matrix
@@ -292,7 +293,10 @@ class YOLOv3Loss:
         level_balance: Sequence[float] | None = None,
         neighbor_cells: bool = False,  # v5 expanded assignment (~3x positives)
     ):
-        self.anchors = jnp.asarray(anchors, jnp.float32)
+        # numpy: jit closures over committed device arrays degrade
+        # axon-relay H2D ~30x (docs/PERF.md); a numpy closure is a
+        # baked HLO constant
+        self.anchors = np.asarray(anchors, np.float32)
         self.strides = tuple(strides)
         self.num_classes = num_classes
         self.ratio_box = ratio_box
@@ -379,7 +383,10 @@ class YOLOv3LossPerCell:
         lambda_conf: float = 1.0,
         lambda_cls: float = 1.0,
     ):
-        self.anchors = jnp.asarray(anchors, jnp.float32)
+        # numpy: jit closures over committed device arrays degrade
+        # axon-relay H2D ~30x (docs/PERF.md); a numpy closure is a
+        # baked HLO constant
+        self.anchors = np.asarray(anchors, np.float32)
         self.strides = tuple(strides)
         self.num_classes = num_classes
         self.box_loss = box_loss
