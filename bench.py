@@ -69,7 +69,24 @@ def device_path(jax, jnp):
         det = infer(variables, images)
     np.asarray(det.valid)
     dt = (time.perf_counter() - t0) / iters
-    return B / dt, model, variables, anchors
+
+    int8_ips = None
+    if "--int8" in sys.argv:
+        # w8a8 PTQ path (infer/quantize.py): measured 2566 img/s vs 1827
+        # bf16 on v5e (1.40x, past the bf16 forward-only ceiling). Off by
+        # default only because the extra bs256 compile adds ~10 min.
+        from fastvision_tpu.infer import quantize_model
+
+        calib = jnp.asarray(rng.uniform(0, 1, (8, S, S, 3)), jnp.bfloat16)
+        qv = quantize_model(model, variables, [calib])
+        det = infer(qv, images)
+        np.asarray(det.valid)
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            det = infer(qv, images)
+        np.asarray(det.valid)
+        int8_ips = B / ((time.perf_counter() - t0) / iters)
+    return B / dt, int8_ips, model, variables, anchors
 
 
 def jpeg_to_boxes(jax, jnp, model, variables, anchors, n_images=256):
@@ -141,19 +158,22 @@ def main():
     import jax
     import jax.numpy as jnp
 
-    ips, model, variables, anchors = device_path(jax, jnp)
+    ips, int8_ips, model, variables, anchors = device_path(jax, jnp)
     e2e = jpeg_to_boxes(jax, jnp, model, variables, anchors)
     # fresh fp32-master variables for training (bench model is bf16-act)
     train_ips = train_path(jax, jnp, model, variables, anchors)
 
-    print(json.dumps({
+    out = {
         "metric": "YOLOv3-416 e2e images/sec/chip (fwd+decode+NMS, bf16, bs256)",
         "value": round(ips, 1),
         "unit": "img/s/chip",
         "vs_baseline": round(ips / 250.0, 3),
         "jpeg2boxes_img_s": round(e2e, 1),
         "train_img_s_bs32_416": round(train_ips, 1),
-    }))
+    }
+    if int8_ips is not None:
+        out["int8_img_s"] = round(int8_ips, 1)
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

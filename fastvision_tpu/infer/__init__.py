@@ -4,5 +4,6 @@ from .export import export_savedmodel
 from .postprocess import detections_to_original, scale_coords
 from .predictor import Detector, VideoClassifier
 from .preprocess import preprocess_batch, preprocess_image
+from .quantize import calibrate, quantize_model, quantize_variables
 from .serving import VisionService, serve
 from .voc_submit import write_voc_submission

@@ -57,7 +57,11 @@ class Detector:
         input_format: str = "rgb",
     ):
         self.mesh = mesh
-        self.variables = variables
+        # one-time device placement: checkpoint restores hand back NUMPY
+        # trees, and numpy leaves in jit args are re-uploaded on EVERY call
+        # — for 62M params that transfer dwarfs the forward pass itself.
+        # No-op for trees already on device.
+        self.variables = jax.device_put(variables) if variables else variables
         # numpy, NOT a device array: jitted programs close over the
         # anchors, and capturing a committed device buffer in a jit
         # closure permanently degrades H2D transfer throughput on the
@@ -480,7 +484,7 @@ class VideoClassifier:
         normalize: str = "imagenet",
         dtype=jnp.bfloat16,
     ):
-        self.variables = variables
+        self.variables = jax.device_put(variables) if variables else variables
         self.num_frames = num_frames
         self.size = size
         self.strategy = strategy

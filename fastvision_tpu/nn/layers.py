@@ -36,6 +36,15 @@ class ConvBN(nn.Module):
     Equivalent role to the reference's CBL/CBS blocks
     (demos/yolov3_u/models/yolov3.py conv+bn+leaky stacks,
     detection/neck/yolov3neck.py:23-40).
+
+    Quantized inference: when the variables carry a 'quant' collection for
+    this module (built by infer/quantize.py: BN-folded int8 kernel +
+    per-channel weight scales + calibrated input scale), the eval forward
+    runs the conv as int8 x int8 -> int32 on the MXU (v5e int8 peak is 2x
+    bf16) and dequantizes into the activation. Training and modules
+    without quant variables are unaffected. Calibration: running apply
+    with mutable=['quant_calib'] records each ConvBN's input absmax via
+    sow (no-op otherwise).
     """
 
     features: int
@@ -49,6 +58,14 @@ class ConvBN(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        if not train and self.has_variable("quant", "w_q"):
+            return self._quantized_forward(x)
+        # input absmax for post-training quantization calibration; recorded
+        # only when the caller made 'quant_calib' mutable (sow no-ops and
+        # costs nothing otherwise)
+        self.sow("quant_calib", "amax",
+                 jnp.max(jnp.abs(x.astype(jnp.float32))),
+                 reduce_fn=jnp.maximum, init_fn=lambda: jnp.float32(0))
         bias = self.use_bias if self.use_bias is not None else not self.use_bn
         # explicit symmetric padding (k//2): identical to SAME at stride 1,
         # but at stride 2 XLA's SAME pads right-biased while torch's pad=1 is
@@ -68,6 +85,31 @@ class ConvBN(nn.Module):
         if self.use_bn:
             x = BatchNorm(dtype=self.dtype, name="bn")(x, train=train)
         return ACTIVATIONS[self.act](x)
+
+    def _quantized_forward(self, x):
+        import jax.lax as lax
+
+        w_q = self.get_variable("quant", "w_q")          # int8 [K,K,Cin/g,Cout]
+        w_scale = self.get_variable("quant", "w_scale")  # fp32 [Cout]
+        in_scale = self.get_variable("quant", "in_scale")  # fp32 scalar
+        bias = self.get_variable("quant", "bias")        # fp32 [Cout], BN folded
+        # symmetric per-tensor activation quant; round/clip in fp32 (ints up
+        # to 127 are exact in bf16 too, but the divide wants fp32)
+        xq = jnp.clip(
+            jnp.round(x.astype(jnp.float32) / in_scale), -127, 127
+        ).astype(jnp.int8)
+        p = self.kernel_size // 2
+        y = lax.conv_general_dilated(
+            xq, w_q,
+            window_strides=(self.strides, self.strides),
+            padding=((p, p), (p, p)),
+            feature_group_count=self.groups,
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=jnp.int32,
+        )
+        scale = (in_scale * w_scale).astype(jnp.float32)
+        y = (y.astype(jnp.float32) * scale + bias).astype(self.dtype)
+        return ACTIVATIONS[self.act](y)
 
 
 class BatchNorm(nn.Module):
