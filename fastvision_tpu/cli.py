@@ -344,6 +344,8 @@ def cmd_eval(args, overrides):
 
     det = _detector_from_cfg(cfg, args.ckpt)
     ds = DetectionDataset(cfg.data.data_root, cfg.data.val_dir)
+    if getattr(args, "int8", False):
+        _quantize_detector(det, ds)
     res = det.evaluate(
         ds, metric_file=args.metric_file,
         config_note=f"conf {cfg.nms.conf_thres} iou {cfg.nms.iou_thres} "
@@ -387,6 +389,13 @@ def cmd_infer(args, overrides):
         save(args.source, det.predict_image(args.source))
 
 
+def _quantize_detector(det, ds, n_calib: int = 8):
+    """int8 PTQ with activation calibration on the first val images."""
+    imgs = [ds[i][0] for i in range(min(n_calib, len(ds)))]
+    det.quantize(imgs)
+    print(f"int8: quantized with {len(imgs)} calibration images")
+
+
 def cmd_serve(args, overrides):
     # serving preset: the reference's competition recipe is MULTI-LABEL NMS
     # at conf .001 / iou .6 (customize_service.py:453) — applied unless the
@@ -399,6 +408,10 @@ def cmd_serve(args, overrides):
     from .infer.serving import VisionService, serve
 
     det = _detector_from_cfg(cfg, args.ckpt)
+    if getattr(args, "int8", False):
+        from .data import DetectionDataset
+
+        _quantize_detector(det, DetectionDataset(cfg.data.data_root, cfg.data.val_dir))
     serve(VisionService(det), host=args.host, port=args.port)
 
 
@@ -467,6 +480,8 @@ def main(argv=None):
     p.add_argument("--max-images", type=int, default=None)
     p.add_argument("--tta", action="store_true",
                    help="horizontal-flip test-time augmentation")
+    p.add_argument("--int8", action="store_true",
+                   help="int8 w8a8 PTQ inference (calibrates on val images)")
     p = common(sub.add_parser("infer"))
     p.add_argument("--ckpt", default="")
     p.add_argument("--source", required=True)
@@ -475,6 +490,8 @@ def main(argv=None):
     p.add_argument("--ckpt", default="")
     p.add_argument("--host", default="0.0.0.0")
     p.add_argument("--port", type=int, default=8080)
+    p.add_argument("--int8", action="store_true",
+                   help="int8 w8a8 PTQ inference (calibrates on val images)")
     p = sub.add_parser("convert")
     p.add_argument("--kind", choices=["coco", "voc"], required=True)
     p.add_argument("--ann", default="")

@@ -62,6 +62,8 @@ class Detector:
         # — for 62M params that transfer dwarfs the forward pass itself.
         # No-op for trees already on device.
         self.variables = jax.device_put(variables) if variables else variables
+        self._model = model
+        self._imagenet = normalize == "imagenet"
         # numpy, NOT a device array: jitted programs close over the
         # anchors, and capturing a committed device buffer in a jit
         # closure permanently degrades H2D transfer throughput on the
@@ -189,6 +191,23 @@ class Detector:
 
     def predict_image(self, image: np.ndarray | str, tta: bool = False) -> dict:
         return self.predict_batch([image], tta=tta)[0]
+
+    def quantize(self, calib_images: Sequence[np.ndarray | str],
+                 skip: Sequence[str] = ()) -> None:
+        """Switch this detector to int8 (w8a8 PTQ) inference in place.
+
+        `calib_images` (a handful of representative images/paths) calibrate
+        per-layer activation scales; weights are BN-folded and quantized
+        per-output-channel (infer/quantize.py). Subsequent predict calls run
+        the ConvBN convs on the int8 MXU path (~1.4x on v5e; docs/PERF.md).
+        """
+        from ..data.dataset import imread_rgb
+        from .quantize import quantize_model
+
+        arrs = [imread_rgb(im) if isinstance(im, str) else im for im in calib_images]
+        batch, _ = preprocess_batch(arrs, self.input_size)
+        x = normalize_images(jnp.asarray(batch), jnp.float32, imagenet=self._imagenet)
+        self.variables = quantize_model(self._model, self.variables, [x], skip=skip)
 
     def _predict_batch_canvas(self, images: Sequence[np.ndarray | str]) -> list[dict]:
         """device_letterbox path: host decodes into a fixed uint8 canvas (no

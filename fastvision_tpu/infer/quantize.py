@@ -54,11 +54,19 @@ def calibrate(model, variables: dict, batches: Iterable, apply_fn: Callable | No
 
 
 def _is_convbn(p) -> bool:
+    """ConvBN param subtree: a 'conv' child with a 4-D kernel (2-D conv),
+    with or without a folded-in BatchNorm sibling."""
     return (
         isinstance(p, dict)
         and isinstance(p.get("conv"), dict)
         and "kernel" in p["conv"]
-        and isinstance(p.get("bn"), dict)
+        and np.ndim(p["conv"]["kernel"]) == 4
+    )
+
+
+def _has_bn(p) -> bool:
+    return (
+        isinstance(p.get("bn"), dict)
         and isinstance(p["bn"].get("bn"), dict)
         and "scale" in p["bn"]["bn"]
     )
@@ -88,20 +96,31 @@ def quantize_variables(
             if any(k in dotted for k in skip):
                 return None
             if not (isinstance(c, dict) and "amax" in c):
+                if not _has_bn(p):
+                    # a plain nn.Conv named 'conv' inside a non-ConvBN module
+                    # (e.g. the Faster R-CNN RPN head) — only ConvBN sows
+                    # calibration data, so no amax here means "not a ConvBN"
+                    return None
                 raise ValueError(
                     f"no calibration absmax for ConvBN at {dotted!r} — was "
                     "calibrate() run with the same model structure?"
                 )
             kernel = np.asarray(p["conv"]["kernel"], np.float32)  # [K,K,Cin/g,Cout]
-            gamma = np.asarray(p["bn"]["bn"]["scale"], np.float32)
-            beta = np.asarray(p["bn"]["bn"]["bias"], np.float32)
-            mean = np.asarray(s["bn"]["bn"]["mean"], np.float32)
-            var = np.asarray(s["bn"]["bn"]["var"], np.float32)
-            inv = gamma / np.sqrt(var + eps)
-            w = kernel * inv  # fold BN scale into the kernel, per out-channel
-            bias = beta - mean * inv
-            if "bias" in p["conv"]:
-                bias = bias + np.asarray(p["conv"]["bias"], np.float32) * inv
+            if _has_bn(p):
+                gamma = np.asarray(p["bn"]["bn"]["scale"], np.float32)
+                beta = np.asarray(p["bn"]["bn"]["bias"], np.float32)
+                mean = np.asarray(s["bn"]["bn"]["mean"], np.float32)
+                var = np.asarray(s["bn"]["bn"]["var"], np.float32)
+                inv = gamma / np.sqrt(var + eps)
+                w = kernel * inv  # fold BN scale into the kernel, per out-channel
+                bias = beta - mean * inv
+                if "bias" in p["conv"]:
+                    bias = bias + np.asarray(p["conv"]["bias"], np.float32) * inv
+            else:  # plain conv (e.g. VGG without BN): nothing to fold
+                w = kernel
+                bias = (np.asarray(p["conv"]["bias"], np.float32)
+                        if "bias" in p["conv"]
+                        else np.zeros(kernel.shape[-1], np.float32))
             w_amax = np.abs(w).reshape(-1, w.shape[-1]).max(axis=0)
             w_scale = np.maximum(w_amax / 127.0, 1e-12).astype(np.float32)
             w_q = np.clip(np.round(w / w_scale), -127, 127).astype(np.int8)

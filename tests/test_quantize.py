@@ -119,6 +119,63 @@ def _adapt_bn(model, v, x, passes=25):
     return v
 
 
+def test_bn_free_convbn_quantizes():
+    """VGG-style ConvBN(use_bn=False, bias) quantizes without BN folding."""
+    m = ConvBN(16, 3, use_bn=False, act="relu")
+    x = jax.random.normal(jax.random.key(11), (2, 16, 16, 8))
+    v = m.init(jax.random.key(0), x, train=True)
+    ref = m.apply(v, x, train=False)
+    qv = quantize_model(m, v, [x])
+    out = m.apply(qv, x, train=False)
+    err = float(jnp.abs(out - ref).max() / (jnp.abs(ref).max() + 1e-9))
+    assert err < 0.05, err
+
+
+def test_faster_rcnn_quantizes_backbone_not_rpn():
+    """The RPN head's plain nn.Conv named 'conv' must NOT be treated as a
+    ConvBN (it never sows calibration data); the VGG backbone quantizes."""
+    from fastvision_tpu.models.detection.faster_rcnn import FasterRCNN
+
+    model = FasterRCNN(num_classes=3, image_size=64,
+                       rpn_pre_nms_train=32, rpn_post_nms_train=8,
+                       rpn_pre_nms_eval=32, rpn_post_nms_eval=8,
+                       roi_pos=2, roi_neg=6)
+    x = jnp.zeros((1, 64, 64, 3))
+    v = model.init({"params": jax.random.key(0), "sampling": jax.random.key(1),
+                    "dropout": jax.random.key(2)}, x,
+                   jnp.asarray([[[0, 10, 10, 40, 40]]], jnp.float32), train=True)
+    qv = quantize_model(model, v, [x])
+    assert "backbone" in qv["quant"] and "rpn" not in qv["quant"]
+    boxes, scores, classes, valid = model.apply(qv, x, train=False)
+    assert bool(jnp.isfinite(boxes).all())
+
+
+def test_detector_quantize_in_place():
+    """Detector.quantize switches to int8 and predictions stay consistent."""
+    from fastvision_tpu.infer import Detector
+    from fastvision_tpu.models.detection import YOLOv3
+    from fastvision_tpu.ops import COCO_ANCHORS
+
+    S = 128
+    anchors = (COCO_ANCHORS.reshape(3, 3, 2)[::-1] * (S / 416)).astype(np.float32)
+    model = YOLOv3(num_classes=4)
+    x = jax.random.uniform(jax.random.key(9), (2, S, S, 3))
+    v = model.init(jax.random.key(0), x, train=True)
+    v = _adapt_bn(model, v, x, passes=10)
+    det = Detector(model, v, anchors, input_size=S, batch_size=1, conf_thres=0.01,
+                   dtype=jnp.float32)
+    rng = np.random.default_rng(2)
+    img = rng.integers(0, 255, (160, 200, 3), np.uint8)
+    before = det.predict_image(img)
+    det.quantize([img])
+    assert "quant" in det.variables
+    after = det.predict_image(img)
+    assert np.isfinite(after["boxes"]).all()
+    # random-weight detections are noisy; count should be in the same regime
+    assert abs(len(before["boxes"]) - len(after["boxes"])) <= max(
+        5, len(before["boxes"]) // 2)
+
+
 def test_yolov3_full_quantization_runs():
     from fastvision_tpu.models.detection import YOLOv3
 
