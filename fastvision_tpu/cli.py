@@ -95,17 +95,19 @@ def cmd_train(args, overrides):
     train_ds = DetectionDataset(cfg.data.data_root, cfg.data.train_dir, cfg.data.cache)
     val_ds = DetectionDataset(cfg.data.data_root, cfg.data.val_dir, cfg.data.cache)
     aug = Augmentation([HorizontalFlip(p=0.5), HSVJitter(p=0.5)])
+    emit = "i420" if cfg.data.i420 else "rgb"
     train_loader = DetectionLoader(
         train_ds, cfg.data.input_size, cfg.data.batch_size, cfg.data.max_boxes,
         train=True, augmentation=aug, mosaic_prob=0.5, seed=cfg.train.seed,
+        emit=emit,
     )
     val_loader = DetectionLoader(
         val_ds, cfg.data.input_size, cfg.data.batch_size, cfg.data.max_boxes,
-        train=False,
+        train=False, emit=emit,
     )
     no_aug_loader = DetectionLoader(
         train_ds, cfg.data.input_size, cfg.data.batch_size, cfg.data.max_boxes,
-        train=True, seed=cfg.train.seed,
+        train=True, seed=cfg.train.seed, emit=emit,
     )
 
     loss_obj = YOLOv3Loss(anchors, num_classes=cfg.model.num_classes,
@@ -203,14 +205,15 @@ def _train_faster_rcnn(cfg, args):
         weight_decay=cfg.train.weight_decay, momentum=cfg.train.momentum,
         grad_clip_norm=cfg.train.grad_clip_norm or 10.0,  # ref clips to 10
     )
+    emit = "i420" if cfg.data.i420 else "rgb"
     train_loader = DetectionLoader(
         DetectionDataset(cfg.data.data_root, cfg.data.train_dir, cfg.data.cache),
         size, cfg.data.batch_size, cfg.data.max_boxes, train=True,
-        seed=cfg.train.seed,
+        seed=cfg.train.seed, emit=emit,
     )
     val_loader = DetectionLoader(
         DetectionDataset(cfg.data.data_root, cfg.data.val_dir, cfg.data.cache),
-        size, cfg.data.batch_size, cfg.data.max_boxes, train=False,
+        size, cfg.data.batch_size, cfg.data.max_boxes, train=False, emit=emit,
     )
     steps_per_epoch = max(len(train_loader), 1)
     fit = Fit(

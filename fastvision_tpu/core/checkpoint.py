@@ -167,11 +167,28 @@ class CheckpointManager:
     def latest_step(self) -> int | None:
         return self._mgr.latest_step()
 
+    @staticmethod
+    def _items_on_disk(root: str, step: int) -> set[str]:
+        """Item names in a saved step, read straight off the filesystem
+        (<root>/<step>/<item>/). orbax's item_metadata() would answer the
+        same question but logs a could-not-be-restored WARNING per item
+        when no handler registry is configured — pure noise for a listing."""
+        d = os.path.join(root, str(step))
+        if not os.path.isdir(d):
+            return set()
+        return {
+            n for n in os.listdir(d)
+            if not n.startswith("_") and os.path.isdir(os.path.join(d, n))
+        }
+
     def available_items(self, step: int | None = None) -> set[str]:
         """Item names present in a saved step (for graceful partial restore)."""
         step = step if step is not None else self.latest_step()
         if step is None:
             return set()
+        found = self._items_on_disk(self.directory, step)
+        if found:
+            return found
         return set(dict(self._mgr.item_metadata(step)).keys())
 
     def restore(self, step: int | None = None, like: Any = None,
@@ -202,7 +219,10 @@ class CheckpointManager:
         if step is None:
             raise FileNotFoundError(f"no checkpoint under {self.directory}")
         if like is not None:
-            on_disk = set(dict(mgr.item_metadata(step)).keys())
+            root = os.path.join(self.directory, "best") if best else self.directory
+            on_disk = self._items_on_disk(root, step)
+            if not on_disk:  # unexpected layout: fall back to orbax metadata
+                on_disk = set(dict(mgr.item_metadata(step)).keys())
             items = {"meta": ocp.args.JsonRestore()}
             for key, target in like.items():
                 if key in on_disk:

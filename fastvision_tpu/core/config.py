@@ -95,6 +95,10 @@ class DataConfig:
     max_boxes: int = 120  # fixed label padding (replaces dynamic collate)
     num_workers: int = 4
     cache: bool = False
+    # ship train/val batches as packed YUV 4:2:0 (half the host->device
+    # bytes; decoded on device inside the jitted step). Wins on hosts where
+    # the device link is the bottleneck (docs/PERF.md).
+    i420: bool = False
 
 
 @dataclass

@@ -38,7 +38,15 @@ def normalize_images(
 
     Call INSIDE the jitted step so the divide/subtract fuses into the first
     conv (demo ToTensor /255, data_gen.py:351-356; lib imagenet-norm,
-    detection_dataloader.py aug)."""
+    detection_dataloader.py aug).
+
+    A rank-3 input is a packed I420 buffer [B, S*3/2, S] (DetectionLoader
+    emit='i420' — half the host->device bytes): it is color-decoded on
+    device first (ops/image.py), then normalized identically."""
+    if images.ndim == 3:
+        from ..ops.image import i420_packed_to_rgb
+
+        images = i420_packed_to_rgb(images, dtype)
     x = images.astype(dtype) / jnp.asarray(255.0, dtype)
     if imagenet:
         x = (x - jnp.asarray(IMAGENET_MEAN, dtype)) / jnp.asarray(IMAGENET_STD, dtype)
@@ -73,6 +81,10 @@ class DetectionLoader:
         # decode/augment thread pool (cv2 releases the GIL). 0/1 = serial;
         # on multi-core TPU-VM hosts set ~ cores-2.
         num_workers: int = 0,
+        # 'rgb' ships [B,S,S,3] uint8; 'i420' ships a packed YUV 4:2:0
+        # buffer [B,S*3/2,S] (half the H2D bytes; normalize_images decodes
+        # it on device). Augmentation/mosaic still run in RGB upstream.
+        emit: str = "rgb",
     ):
         self.ds = dataset
         self.input_size = input_size
@@ -89,6 +101,9 @@ class DetectionLoader:
 
             use_native = native.available()
         self.use_native = use_native
+        if emit not in ("rgb", "i420"):
+            raise ValueError(f"emit must be 'rgb' or 'i420', got {emit!r}")
+        self.emit = emit
         self.num_workers = num_workers
         self._pool = None
         if num_workers and num_workers > 1:
@@ -177,6 +192,10 @@ class DetectionLoader:
                         "orig_hw": image.shape[:2],
                         "gt_pixels": lab,  # original-space GT for mAP
                     })
+            if self.emit == "i420":
+                from ..ops.image import rgb_batch_to_i420_packed
+
+                batch = rgb_batch_to_i420_packed(batch)
             yield {
                 "images": batch,
                 "labels": np.stack(labels),

@@ -146,6 +146,31 @@ def rgb_batch_to_i420(batch):
     return y, u, v
 
 
+def i420_packed_to_rgb(buf, dtype=jnp.float32):
+    """On-device packed I420 buffer [B, S*3/2, S] uint8 -> RGB float.
+
+    The packed layout is exactly what cv2.cvtColor(..., RGB2YUV_I420)
+    emits: S rows of Y, then S/4 rows holding the U plane, then S/4 rows
+    holding V. Used by the training pipeline (`DetectionLoader(emit=
+    'i420')`) so train batches also ship at 1.5 B/px."""
+    b, rows, s = buf.shape
+    if rows != (s * 3) // 2:
+        raise ValueError(f"not a packed I420 buffer: {buf.shape}")
+    y = buf[:, :s, :]
+    chroma = buf[:, s:, :]
+    u = chroma[:, : s // 4, :].reshape(b, s // 2, s // 2)
+    v = chroma[:, s // 4 :, :].reshape(b, s // 2, s // 2)
+    return i420_to_rgb(y, u, v, dtype)
+
+
+def rgb_batch_to_i420_packed(batch):
+    """HOST: [B, S, S, 3] uint8 RGB -> packed I420 [B, S*3/2, S] uint8."""
+    import cv2
+    import numpy as np
+
+    return np.stack([cv2.cvtColor(im, cv2.COLOR_RGB2YUV_I420) for im in batch])
+
+
 def hflip_images(images):
     """Horizontal flip, NHWC."""
     return images[:, :, ::-1, :]

@@ -96,6 +96,53 @@ def test_detector_i420_path_matches_rgb_path():
     assert abs(float(r_rgb["scores"][0]) - float(r_i420["scores"][0])) < 0.02
 
 
+def test_packed_i420_matches_plane_version():
+    from fastvision_tpu.ops.image import i420_packed_to_rgb, rgb_batch_to_i420_packed
+
+    batch = _natural_batch(2, 64)
+    packed = rgb_batch_to_i420_packed(batch)
+    assert packed.shape == (2, 96, 64)
+    via_packed = np.asarray(i420_packed_to_rgb(packed))
+    y, u, v = rgb_batch_to_i420(batch)
+    via_planes = np.asarray(i420_to_rgb(y, u, v))
+    np.testing.assert_allclose(via_packed, via_planes, atol=1e-5)
+
+
+def test_normalize_images_decodes_packed_i420():
+    from fastvision_tpu.data.pipeline import normalize_images
+    from fastvision_tpu.ops.image import rgb_batch_to_i420_packed
+
+    batch = _natural_batch(2, 64)
+    rgb_n = np.asarray(normalize_images(batch))
+    i420_n = np.asarray(normalize_images(rgb_batch_to_i420_packed(batch)))
+    assert i420_n.shape == rgb_n.shape
+    # I420 roundtrip error only (chroma subsample + quantization), in [0,1]
+    assert np.abs(i420_n - rgb_n).mean() < 6.0 / 255.0
+
+
+def test_loader_emit_i420(tmp_path):
+    from fastvision_tpu.data import DetectionDataset
+    from fastvision_tpu.data.pipeline import DetectionLoader
+
+    root = tmp_path / "ds"
+    (root / "val" / "images").mkdir(parents=True)
+    (root / "val" / "labels").mkdir(parents=True)
+    rng = np.random.default_rng(0)
+    for i in range(3):
+        cv2.imwrite(str(root / "val" / "images" / f"{i}.jpg"),
+                    rng.integers(0, 255, (50, 70, 3), np.uint8))
+        (root / "val" / "labels" / f"{i}.txt").write_text("1 5 5 30 40\n")
+    ds = DetectionDataset(str(root), "val")
+    kw = dict(input_size=64, batch_size=2, max_boxes=4, train=False,
+              drop_last=False)
+    b_rgb = next(iter(DetectionLoader(ds, **kw)))
+    b_i420 = next(iter(DetectionLoader(ds, emit="i420", **kw)))
+    assert b_i420["images"].shape == (2, 96, 64)
+    np.testing.assert_array_equal(b_rgb["labels"], b_i420["labels"])
+    with pytest.raises(ValueError):
+        DetectionLoader(ds, emit="nv12", **kw)
+
+
 def test_i420_rejects_odd_dims():
     with pytest.raises(ValueError):
         rgb_batch_to_i420(np.zeros((1, 63, 64, 3), np.uint8))
