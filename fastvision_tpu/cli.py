@@ -338,6 +338,7 @@ def _detector_from_cfg(cfg, ckpt: str | None):
         max_det=cfg.nms.max_det, class_names=cfg.data.categories or None,
         dtype=jnp.bfloat16 if cfg.train.bf16 else jnp.float32,
         multi_label=cfg.nms.multi_label,
+        input_format="i420" if cfg.data.i420 else "rgb",
     )
 
 
