@@ -259,8 +259,20 @@ def prefetch_to_device(
     the H2D copy of batch k+1 overlaps compute of batch k."""
     q: queue.Queue = queue.Queue(maxsize=buffer_size)
     sentinel = object()
+    stop = threading.Event()  # consumer gone (early break/close): unblock
+    # and terminate the worker so abandoned prefetch threads don't keep
+    # holding buffered device batches / contending for the transfer link
 
-    def put(batch):
+    def enqueue(item) -> bool:
+        while True:
+            try:
+                q.put(item, timeout=0.1)
+                return True
+            except queue.Full:
+                if stop.is_set():
+                    return False
+
+    def put(batch) -> bool:
         device_part = {k: batch[k] for k in device_keys if k in batch}
         if mesh is not None:
             from ..core.mesh import DATA_AXIS
@@ -277,19 +289,28 @@ def prefetch_to_device(
             device_part = jax.tree.map(jnp.asarray, device_part)
         out = dict(batch)
         out.update(device_part)
-        q.put(out)
+        return enqueue(out)
 
     def worker():
         try:
             for batch in iterator:
-                put(batch)
+                if stop.is_set() or not put(batch):
+                    return
         finally:
-            q.put(sentinel)
+            enqueue(sentinel)
 
     t = threading.Thread(target=worker, daemon=True)
     t.start()
-    while True:
-        item = q.get()
-        if item is sentinel:
-            break
-        yield item
+    try:
+        while True:
+            item = q.get()
+            if item is sentinel:
+                break
+            yield item
+    finally:
+        stop.set()
+        try:  # drain buffered items so the worker unblocks promptly
+            while True:
+                q.get_nowait()
+        except queue.Empty:
+            pass

@@ -232,3 +232,32 @@ def test_full_category_descriptors():
 
     with pytest.raises(KeyError):
         categories_for("nope")
+
+
+def test_prefetch_early_break_stops_worker():
+    """Abandoning a prefetch generator must terminate its worker thread
+    (an orphaned thread would keep buffering batches and contending for
+    the host->device link; docs/PERF.md)."""
+    import threading
+    import time
+
+    import numpy as np
+
+    from fastvision_tpu.data.pipeline import prefetch_to_device
+
+    produced = []
+
+    def batches():
+        for i in range(100):
+            produced.append(i)
+            yield {"images": np.zeros((2, 4, 4, 3), np.uint8), "i": i}
+
+    before = threading.active_count()
+    gen = prefetch_to_device(batches())
+    assert next(gen)["i"] == 0
+    gen.close()  # early abandonment
+    deadline = time.time() + 5
+    while threading.active_count() > before and time.time() < deadline:
+        time.sleep(0.05)
+    assert threading.active_count() <= before
+    assert len(produced) < 100  # worker stopped long before exhaustion
