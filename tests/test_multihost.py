@@ -1,0 +1,58 @@
+"""2-process multi-host integration test (VERDICT r2 missing-3).
+
+`core.distributed.initialize_multihost` had never been EXECUTED — this
+spawns two real OS processes that form a jax.distributed cluster over the
+CPU backend (the DCN stand-in), build one global mesh (2 devices per
+process -> 4), and run three data-parallel train steps on per-host data
+shards. Both processes must see the same global topology and compute
+IDENTICAL global losses — which can only happen if the cross-host
+gradient/loss collectives actually ran.
+"""
+import json
+import os
+import socket
+import subprocess
+import sys
+
+
+def _free_port() -> int:
+    s = socket.socket()
+    s.bind(("localhost", 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port
+
+
+def test_two_process_data_parallel_step():
+    port = _free_port()
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    worker = os.path.join(repo, "tests", "multihost_worker.py")
+    env = {k: v for k, v in os.environ.items() if k != "XLA_FLAGS"}
+    env["PYTHONPATH"] = repo
+    procs = [
+        subprocess.Popen(
+            [sys.executable, worker, str(i), "2", str(port)],
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE, env=env, text=True,
+        )
+        for i in range(2)
+    ]
+    outs = []
+    for p in procs:
+        try:
+            out, err = p.communicate(timeout=240)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        assert p.returncode == 0, f"worker failed:\n{err[-3000:]}"
+        outs.append(json.loads(out.strip().splitlines()[-1]))
+
+    for i, o in enumerate(outs):
+        assert o["info"]["process_count"] == 2
+        assert o["info"]["local_device_count"] == 2
+        assert o["info"]["global_device_count"] == 4
+        assert o["info"]["process_index"] == i
+    # the global loss is identical on both hosts ONLY if the cross-host
+    # collective ran (each host holds different data shards)
+    assert outs[0]["losses"] == outs[1]["losses"]
+    assert outs[0]["losses"][0] != outs[0]["losses"][-1]  # it actually trained
