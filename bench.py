@@ -1,23 +1,29 @@
-"""Headline benchmark: YOLOv3-416 end-to-end inference throughput on one chip.
+"""Headline benchmark: YOLOv3-416 jpeg->boxes throughput, decomposed.
 
-Matches BASELINE.json's metric: "YOLOv3-416 COCO-val images/sec/chip e2e
-(decode+NMS)". One jitted XLA program covers forward (bf16, NHWC, MXU) +
-v5 decode + fixed-size class-aware NMS.
+Matches BASELINE.json's metric as WRITTEN: "YOLOv3-416 COCO-val
+images/sec/chip e2e (decode+NMS)" — the headline `value` is
+Detector.predict_dataset from JPEG files on disk (process-parallel host
+decode -> letterbox -> i420 H2D -> one jitted forward+v5-decode+NMS
+program -> unscale), COCO-like 640x480 inputs.
+
+Because the dev host (1 core, ~37 MB/s device tunnel) binds that number
+far below the chip's rate, the line also carries the measured per-stage
+decomposition that transfers to a real TPU-VM host:
+  - device_img_s: the jitted device program from device-resident tensors
+    (bf16 bs256; the chip capability — 1815 img/s on v5e, 2566 int8);
+  - decode_img_s: host-only decode+letterbox scaling vs process worker
+    count (data/decode_pool.py);
+  - h2d_MBps / h2d_ceiling_img_s_i420 / ceiling_fraction: the measured
+    link bandwidth, the jpeg->boxes ceiling it implies at 259,584 B/img
+    (i420 @416), and how close the pipeline gets to that ceiling;
+  - train_img_s: jitted train step (fwd+loss+bwd+SGD) at the reference's
+    own bs32@416 config.
 
 Baseline for `vs_baseline`: the north star is >= 2x A100 img/s/chip
 (BASELINE.json). The reference publishes no inference throughput; we use an
 A100 estimate of 250 img/s for batched PyTorch fp16 YOLOv3-416 e2e with NMS
 (~4 ms/img), so vs_baseline = value / 250. The reference's only measured
 number is training: ~21 img/s/GPU (BASELINE.md, bs32 @608 on 2 GPUs).
-
-Prints ONE JSON line. The headline value is the device-path throughput;
-two honest auxiliary numbers ride along as extra fields:
-  - jpeg2boxes_img_s: Detector.predict_dataset from JPEG files on disk
-    (host decode + letterbox + H2D + forward + decode + NMS + unscale),
-    COCO-like 640x480 inputs — the true user-facing path. Host-bound on
-    few-core machines.
-  - train_img_s: jitted YOLOv3 train step (fwd + loss + bwd + SGD update)
-    at the reference's own bs32@416 config from device-resident batches.
 """
 import json
 import os
@@ -89,12 +95,8 @@ def device_path(jax, jnp):
     return B / dt, int8_ips, model, variables, anchors
 
 
-def jpeg_to_boxes(jax, jnp, model, variables, anchors, n_images=256):
-    """Detector.predict_dataset throughput from JPEG bytes on disk."""
+def _jpeg_fixture(n_images=256):
     import cv2
-
-    from fastvision_tpu.data import DetectionDataset
-    from fastvision_tpu.infer import Detector
 
     root = "/tmp/bench_jpegs"
     img_dir = os.path.join(root, "val", "images")
@@ -108,7 +110,61 @@ def jpeg_to_boxes(jax, jnp, model, variables, anchors, n_images=256):
             img = cv2.GaussianBlur(img, (7, 7), 0)
             cv2.imwrite(os.path.join(img_dir, f"{i:05d}.jpg"), img,
                         [cv2.IMWRITE_JPEG_QUALITY, 90])
+    return root
 
+
+def decode_scaling(worker_counts=(0, 2, 4, 8), n_images=256):
+    """HOST-ONLY decode+letterbox+label throughput vs process worker count
+    (data/decode_pool.py). On a many-core TPU-VM host this shows the
+    linear decode scaling that feeds the device rate; on this 1-core dev
+    box it documents the single-core decode budget (img/s/core) that a
+    deployment multiplies by its core count."""
+    from fastvision_tpu.data import DetectionDataset, DetectionLoader
+
+    root = _jpeg_fixture(n_images)
+    ds = DetectionDataset(root, "val")
+    out = {}
+    for w in worker_counts:
+        loader = DetectionLoader(
+            ds, input_size=416, batch_size=32, max_boxes=1, train=False,
+            drop_last=False, num_workers=w, worker_backend="process",
+        )
+        for _ in loader.epoch(0):  # warm workers + page cache
+            break
+        t0 = time.perf_counter()
+        n = sum(b["num_real"] for b in loader.epoch(0))
+        out[f"w{w}"] = round(n / (time.perf_counter() - t0), 1)
+        if loader._decode_pool is not None:
+            loader._decode_pool.close()
+    return out
+
+
+def h2d_bandwidth(jax, jnp, mb=32, reps=3):
+    """Measured host->device link bandwidth (uint8), synced by a 1-element
+    fetch (block_until_ready returns early on the axon relay)."""
+    buf = np.random.default_rng(0).integers(
+        0, 255, (mb * 1024 * 1024,), np.uint8
+    )
+    x = jnp.asarray(buf)  # warm any lazy session state
+    np.asarray(x[0])
+    best = 0.0
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        x = jnp.asarray(buf)
+        np.asarray(x[0])
+        best = max(best, mb / (time.perf_counter() - t0))
+    return best
+
+
+def jpeg_to_boxes(jax, jnp, model, variables, anchors, n_images=256,
+                  num_workers=2):
+    """Detector.predict_dataset throughput from JPEG bytes on disk — the
+    north-star path (BASELINE.json: jpeg->boxes img/s). Host decode runs
+    in DecodePool worker processes overlapping device dispatch."""
+    from fastvision_tpu.data import DetectionDataset
+    from fastvision_tpu.infer import Detector
+
+    root = _jpeg_fixture(n_images)
     # i420 halves the H2D bytes (the binding constraint on tunnel-attached
     # dev hosts, docs/PERF.md); JPEG chroma is 4:2:0 already, lossless here
     det = Detector(model, variables, anchors, input_size=416, batch_size=32,
@@ -123,15 +179,17 @@ def jpeg_to_boxes(jax, jnp, model, variables, anchors, n_images=256):
         def __getitem__(self, i):
             return self.ds[i]
 
-    for _ in det.predict_dataset(_Head(ds, 32)):  # compile + first-fetch
-        pass
+    for _ in det.predict_dataset(_Head(ds, 32), fast_decode=True,
+                                 num_workers=num_workers):
+        pass  # compile + first-fetch + decode-pool warmup
     # best of 3 passes: this is the only transfer-bound number, and the
     # shared tunnel's ambient congestion swings single passes up to 2x
     # (device/train numbers are stable across the same runs; docs/PERF.md)
     best = 0.0
     for _ in range(3):
         t0 = time.perf_counter()
-        n = sum(1 for _ in det.predict_dataset(ds))
+        n = sum(1 for _ in det.predict_dataset(ds, fast_decode=True,
+                                               num_workers=num_workers))
         best = max(best, n / (time.perf_counter() - t0))
     return best
 
@@ -174,17 +232,36 @@ def main():
     import jax.numpy as jnp
 
     ips, int8_ips, model, variables, anchors = device_path(jax, jnp)
+    decode = decode_scaling()
+    h2d = h2d_bandwidth(jax, jnp)
     e2e = jpeg_to_boxes(jax, jnp, model, variables, anchors)
     # fresh fp32-master variables for training (bench model is bf16-act)
     train_ips = train_path(jax, jnp, model, variables, anchors)
 
+    # north-star decomposition (VERDICT r2 next-1): jpeg->boxes headline
+    # plus the measured per-stage ceilings that bound it on THIS host —
+    # i420 @416 is 416*416*1.5 = 259,584 B/img over the measured link
+    i420_bytes = 416 * 416 * 3 // 2
+    ceiling = h2d * 1024 * 1024 / i420_bytes
     out = {
-        "metric": "YOLOv3-416 e2e images/sec/chip (fwd+decode+NMS, bf16, bs256)",
-        "value": round(ips, 1),
-        "unit": "img/s/chip",
-        "vs_baseline": round(ips / 250.0, 3),
-        "jpeg2boxes_img_s": round(e2e, 1),
+        "metric": "YOLOv3-416 jpeg->boxes images/sec "
+                  "(decode+H2D+fwd+v5-decode+NMS+unscale)",
+        "value": round(e2e, 1),
+        "unit": "img/s",
+        "vs_baseline": round(e2e / 250.0, 3),
+        "device_img_s": round(ips, 1),
+        "decode_img_s": decode,
+        "h2d_MBps": round(h2d, 1),
+        "h2d_ceiling_img_s_i420": round(ceiling, 1),
+        "ceiling_fraction": round(e2e / ceiling, 3),
         "train_img_s_bs32_416": round(train_ips, 1),
+        "host_cores": os.cpu_count(),
+        "note": "dev host = 1 core behind a ~37 MB/s tunnel: jpeg->boxes is "
+                "link-bound here (ceiling_fraction = saturation of the "
+                "measured link); device_img_s is the per-chip program rate "
+                "and decode_img_s the per-core host decode budget — on a "
+                "real TPU-VM host (100+ cores, >10 GB/s PCIe) the host "
+                "stages outrun device_img_s.",
     }
     if int8_ips is not None:
         out["int8_img_s"] = round(int8_ips, 1)

@@ -44,6 +44,13 @@ def normalize_images(
     emit='i420' — half the host->device bytes): it is color-decoded on
     device first (ops/image.py), then normalized identically."""
     if images.ndim == 3:
+        if images.shape[-1] == 3:
+            raise ValueError(
+                f"normalize_images got a single unbatched RGB image "
+                f"{images.shape}; add a batch dimension (images[None]). "
+                "Rank-3 inputs are interpreted as packed I420 buffers "
+                "[B, S*3/2, S]."
+            )
         from ..ops.image import i420_packed_to_rgb
 
         images = i420_packed_to_rgb(images, dtype)
@@ -78,9 +85,15 @@ class DetectionLoader:
         # default native backend; flip on where cv2 is unavailable or on
         # many-core hosts where the kernel's batch threading wins.
         use_native: bool = False,
-        # decode/augment thread pool (cv2 releases the GIL). 0/1 = serial;
-        # on multi-core TPU-VM hosts set ~ cores-2.
+        # decode/augment worker pool. 0/1 = serial; on multi-core TPU-VM
+        # hosts set ~ cores-2.
         num_workers: int = 0,
+        # 'thread': cv2 releases the GIL but the surrounding Python work
+        # still serializes — tops out ~1.3x on decode-heavy loads.
+        # 'process': DecodePool fork workers + shared-memory ring (the
+        # torch-DataLoader-equivalent, data/decode_pool.py) — decode,
+        # letterbox, augment AND label work all scale with cores.
+        worker_backend: str = "thread",
         # 'rgb' ships [B,S,S,3] uint8; 'i420' ships a packed YUV 4:2:0
         # buffer [B,S*3/2,S] (half the H2D bytes; normalize_images decodes
         # it on device). Augmentation/mosaic still run in RGB upstream.
@@ -105,8 +118,14 @@ class DetectionLoader:
             raise ValueError(f"emit must be 'rgb' or 'i420', got {emit!r}")
         self.emit = emit
         self.num_workers = num_workers
+        if worker_backend not in ("thread", "process"):
+            raise ValueError(
+                f"worker_backend must be 'thread' or 'process', got {worker_backend!r}"
+            )
+        self.worker_backend = worker_backend
         self._pool = None
-        if num_workers and num_workers > 1:
+        self._decode_pool = None
+        if num_workers and num_workers > 1 and worker_backend == "thread":
             from concurrent.futures import ThreadPoolExecutor
 
             self._pool = ThreadPoolExecutor(max_workers=num_workers)
@@ -142,9 +161,75 @@ class DetectionLoader:
             return pad_labels(lab[:, 0], xywhn, self.max_boxes)
         return pad_labels(np.zeros(0), np.zeros((0, 4)), self.max_boxes)
 
+    # -- process backend ------------------------------------------------
+    def _sample_work(self, item):
+        """Full per-sample host pipeline, run inside a DecodePool worker:
+        decode + mosaic + augment + letterbox + label finalize. Returns
+        (canvas uint8 [S,S,3], (padded_labels, meta))."""
+        pos, idx, epoch_idx = item
+        sample_rng = np.random.default_rng((self.seed, epoch_idx, pos))
+        image, lab, sid = self._load_raw(int(idx), sample_rng)
+        out, scale, (px, py) = letterbox(image, self.input_size, self.pad_value)
+        padded = self._finalize(lab, scale, px, py)
+        meta = {
+            "id": sid, "scale": scale, "pad": (px, py),
+            "orig_hw": image.shape[:2], "gt_pixels": lab,
+        }
+        return out, (padded, meta)
+
+    def _get_decode_pool(self):
+        if self._decode_pool is None:
+            from .decode_pool import DecodePool
+
+            s = self.input_size
+            self._decode_pool = DecodePool(
+                self._sample_work, self.num_workers, (s, s, 3),
+                n_slots=max(4 * self.num_workers, 2 * self.batch_size),
+            )
+        return self._decode_pool
+
+    def _epoch_process(self, epoch_idx: int, order: np.ndarray) -> Iterator[dict]:
+        pool = self._get_decode_pool()
+        nb = len(self)
+        n = nb * self.batch_size if self.drop_last else len(order)
+        items = ((pos, order[pos], epoch_idx) for pos in range(min(n, len(order))))
+        s = self.input_size
+        batch = np.empty((self.batch_size, s, s, 3), np.uint8)
+        labels, metas, i = [], [], 0
+        for view, (padded, meta) in pool.imap(items):
+            batch[i] = view
+            labels.append(padded)
+            metas.append(meta)
+            i += 1
+            if i == self.batch_size:
+                yield self._emit_batch(batch.copy(), labels, metas, i)
+                labels, metas, i = [], [], 0
+        if i and not self.drop_last:  # ragged last batch: replicate images,
+            real = i                  # pad labels empty (as the thread path)
+            while i < self.batch_size:
+                batch[i] = batch[real - 1]
+                labels.append(np.full((self.max_boxes, 5), -1, np.float32))
+                i += 1
+            yield self._emit_batch(batch.copy(), labels, metas, real)
+
+    def _emit_batch(self, batch, labels, metas, real) -> dict:
+        if self.emit == "i420":
+            from ..ops.image import rgb_batch_to_i420_packed
+
+            batch = rgb_batch_to_i420_packed(batch)
+        return {
+            "images": batch,
+            "labels": np.stack(labels),
+            "num_real": real,
+            "meta": metas,
+        }
+
     def epoch(self, epoch_idx: int = 0) -> Iterator[dict]:
         rng = np.random.default_rng((self.seed, epoch_idx))
         order = rng.permutation(len(self.ds)) if self.train else np.arange(len(self.ds))
+        if self.num_workers > 1 and self.worker_backend == "process":
+            yield from self._epoch_process(epoch_idx, order)
+            return
         nb = len(self)
 
         def load(pos_idx):
@@ -237,10 +322,12 @@ class ClassificationLoader:
                 img = cv2.resize(img, (self.input_size, self.input_size))
                 images.append(img)
                 labels.append(lab)
-            while len(images) < self.batch_size:
+            real = len(images)
+            while len(images) < self.batch_size:  # ragged last eval batch
                 images.append(images[-1])
                 labels.append(labels[-1])
-            yield {"images": np.stack(images), "labels": np.asarray(labels, np.int32)}
+            yield {"images": np.stack(images), "labels": np.asarray(labels, np.int32),
+                   "num_real": real}
 
     def __iter__(self):
         return self.epoch(0)
