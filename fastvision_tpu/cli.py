@@ -309,7 +309,7 @@ def cmd_train_cls(args, overrides):
     fit.run()
 
 
-def _detector_from_cfg(cfg, ckpt: str | None):
+def _detector_from_cfg(cfg, ckpt: str | None, fast_decode: bool = False):
     import jax
     import jax.numpy as jnp
 
@@ -339,6 +339,7 @@ def _detector_from_cfg(cfg, ckpt: str | None):
         dtype=jnp.bfloat16 if cfg.train.bf16 else jnp.float32,
         multi_label=cfg.nms.multi_label,
         input_format="i420" if cfg.data.i420 else "rgb",
+        fast_decode=fast_decode,
     )
 
 
@@ -346,7 +347,8 @@ def cmd_eval(args, overrides):
     cfg = _load_config(args, overrides)
     from .data import DetectionDataset
 
-    det = _detector_from_cfg(cfg, args.ckpt)
+    det = _detector_from_cfg(cfg, args.ckpt,
+                             fast_decode=getattr(args, "fast_decode", False))
     ds = DetectionDataset(cfg.data.data_root, cfg.data.val_dir)
     if getattr(args, "int8", False):
         _quantize_detector(det, ds)
@@ -366,7 +368,8 @@ def cmd_infer(args, overrides):
     import os
 
     cfg = _load_config(args, overrides)
-    det = _detector_from_cfg(cfg, args.ckpt)
+    det = _detector_from_cfg(cfg, args.ckpt,
+                             fast_decode=getattr(args, "fast_decode", False))
     from .viz import draw_detections
 
     os.makedirs(args.out, exist_ok=True)
@@ -411,11 +414,36 @@ def cmd_serve(args, overrides):
     cfg = _load_config(args, overrides)
     from .infer.serving import VisionService, serve
 
-    det = _detector_from_cfg(cfg, args.ckpt)
+    det = _detector_from_cfg(cfg, args.ckpt,
+                             fast_decode=getattr(args, "fast_decode", False))
     if getattr(args, "int8", False):
-        from .data import DetectionDataset
+        calib_dir = getattr(args, "calib_dir", "")
+        if calib_dir:
+            import os
 
-        _quantize_detector(det, DetectionDataset(cfg.data.data_root, cfg.data.val_dir))
+            from .infer.predictor import IMG_EXTS
+
+            paths = sorted(
+                os.path.join(calib_dir, f) for f in os.listdir(calib_dir)
+                if f.lower().endswith(IMG_EXTS)
+            )[:8]
+            if not paths:
+                raise SystemExit(f"--calib-dir {calib_dir!r} contains no images")
+            det.quantize(paths)
+            print(f"int8: quantized with {len(paths)} calibration images")
+        else:
+            from .data import DetectionDataset
+
+            try:
+                ds = DetectionDataset(cfg.data.data_root, cfg.data.val_dir)
+            except FileNotFoundError as e:
+                raise SystemExit(
+                    "int8 serving needs calibration images: the training "
+                    f"dataset ({cfg.data.data_root}/{cfg.data.val_dir}) is not "
+                    "on this host — pass --calib-dir DIR with a few "
+                    "representative images instead"
+                ) from e
+            _quantize_detector(det, ds)
     serve(VisionService(det), host=args.host, port=args.port)
 
 
@@ -486,16 +514,25 @@ def main(argv=None):
                    help="horizontal-flip test-time augmentation")
     p.add_argument("--int8", action="store_true",
                    help="int8 w8a8 PTQ inference (calibrates on val images)")
+    p.add_argument("--fast-decode", action="store_true",
+                   help="reduced JPEG decode for >=2x oversized images (perf)")
     p = common(sub.add_parser("infer"))
     p.add_argument("--ckpt", default="")
     p.add_argument("--source", required=True)
     p.add_argument("--out", default="./outputs")
+    p.add_argument("--fast-decode", action="store_true",
+                   help="reduced JPEG decode for >=2x oversized images (perf)")
     p = common(sub.add_parser("serve"))
     p.add_argument("--ckpt", default="")
     p.add_argument("--host", default="0.0.0.0")
     p.add_argument("--port", type=int, default=8080)
     p.add_argument("--int8", action="store_true",
                    help="int8 w8a8 PTQ inference (calibrates on val images)")
+    p.add_argument("--calib-dir", default="",
+                   help="directory of calibration images for --int8 (use when "
+                        "the training dataset is not on the serving host)")
+    p.add_argument("--fast-decode", action="store_true",
+                   help="reduced JPEG decode for >=2x oversized images (perf)")
     p = sub.add_parser("convert")
     p.add_argument("--kind", choices=["coco", "voc"], required=True)
     p.add_argument("--ann", default="")

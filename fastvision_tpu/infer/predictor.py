@@ -55,6 +55,20 @@ class Detector:
         # (ops/image.py::i420_to_rgb) — the right choice on thin-pipe
         # hosts where the device link bounds jpeg->boxes (docs/PERF.md)
         input_format: str = "rgb",
+        # opt-in perf path: libjpeg DCT-domain reduced decode for >=2x
+        # oversized JPEGs (path inputs only). Changes decode resampling
+        # and makes meta['scale'] a per-axis (sx, sy) pair — explicit
+        # opt-in per ADVICE r2 (infer/preprocess.py contract).
+        fast_decode: bool = False,
+        # letterbox fill (ref lib uses 114; the yolov3_u demo pads 0)
+        pad_value: int = 114,
+        # 'standard' (ours): NMS in input space ranked by obj*cls, then
+        # unscale. 'reference_demo': bit-parity with the yolov3_u demo
+        # chain (inference.py:92-137) — per-image unscale+clamp+>5px
+        # filter BEFORE NMS in original space, ranked by raw objectness.
+        # Use with pad_value=0 to reproduce its published mAP sweep.
+        postprocess_mode: str = "standard",
+        min_box_px: float = 5.0,  # demo-mode pre-NMS min box side (original px)
     ):
         self.mesh = mesh
         # one-time device placement: checkpoint restores hand back NUMPY
@@ -77,8 +91,15 @@ class Detector:
         self.iou_thres = iou_thres
         self.max_det = max_det
         self.multi_label = multi_label
+        self.fast_decode = fast_decode
         strides = tuple(strides)
         imagenet = normalize == "imagenet"
+        # Per-class NMS offset derived from the coordinate bound: decoded
+        # boxes live in input-size space but can spill past the canvas
+        # (large anchors; v5 wh up to 4x anchor), so allow 3x margin.
+        from ..ops.nms import class_offset_for
+
+        self._class_offset = class_offset_for(3.0 * input_size)
 
         if multi_label:
             from ..ops.nms import non_max_suppression_multilabel
@@ -87,14 +108,14 @@ class Detector:
                 return jax.vmap(
                     lambda p: non_max_suppression_multilabel(
                         p, conf_thres=conf_thres, iou_thres=iou_thres,
-                        max_det=max_det,
+                        max_det=max_det, class_offset=self._class_offset,
                     )
                 )(pred)
         else:
             def _nms(pred):
                 return batched_non_max_suppression(
                     pred, conf_thres=conf_thres, iou_thres=iou_thres,
-                    max_det=max_det,
+                    max_det=max_det, class_offset=self._class_offset,
                 )
 
         def _infer(v, images_u8):
@@ -104,6 +125,49 @@ class Detector:
             return _nms(pred.astype(jnp.float32))
 
         self._infer = jax.jit(_infer)
+
+        if postprocess_mode not in ("standard", "reference_demo"):
+            raise ValueError(
+                f"postprocess_mode must be 'standard' or 'reference_demo', "
+                f"got {postprocess_mode!r}"
+            )
+        self.postprocess_mode = postprocess_mode
+        self.pad_value = pad_value
+        if postprocess_mode == "reference_demo":
+            if multi_label or input_format != "rgb" or device_letterbox or fast_decode:
+                raise ValueError(
+                    "postprocess_mode='reference_demo' supports only the "
+                    "plain RGB batch path (no multi_label / i420 / "
+                    "device_letterbox / fast_decode)"
+                )
+            from ..ops.nms import non_max_suppression
+            from .postprocess import reference_demo_unscale
+
+            def _infer_demo(v, images_u8, ratios, pads, ori_wh):
+                x = normalize_images(images_u8, dtype, imagenet=imagenet)
+                heads = model.apply(v, x, train=False)
+                pred = decode_predictions(heads, self.anchors, strides, decode_style)
+
+                def one(p, r, pd, wh):
+                    # demo chain: unscale+clamp+min-size filter BEFORE NMS
+                    # in original pixels. Coordinates are clamped to the
+                    # original dims, so the class offset is safe for
+                    # originals up to _class_offset px — the demo's own
+                    # 4096 constant has the same bound (utils/nms.py:16).
+                    p = reference_demo_unscale(
+                        p, r, pd[0], pd[1], wh[0], wh[1], min_wh=min_box_px
+                    )
+                    return non_max_suppression(
+                        p, conf_thres=conf_thres, iou_thres=iou_thres,
+                        max_det=max_det, box_format="xyxy", score_mode="obj",
+                        class_offset=self._class_offset,
+                    )
+
+                return jax.vmap(one)(
+                    pred.astype(jnp.float32), ratios, pads, ori_wh
+                )
+
+            self._infer_demo = jax.jit(_infer_demo)
 
         if input_format not in ("rgb", "i420"):
             raise ValueError(f"input_format must be 'rgb' or 'i420', got {input_format!r}")
@@ -167,9 +231,13 @@ class Detector:
             return out
         if self.device_letterbox:
             return self._predict_batch_canvas(images)
-        batch, metas = preprocess_batch(images, self.input_size)
+        batch, metas = preprocess_batch(images, self.input_size,
+                                        pad_value=self.pad_value,
+                                        fast_decode=self.fast_decode)
         if n < self.batch_size:  # pad to the compiled batch size
             batch = np.concatenate([batch, np.repeat(batch[-1:], self.batch_size - n, 0)])
+        if self.postprocess_mode == "reference_demo":
+            return self._predict_batch_demo(batch, metas, n)
         if self.input_format == "i420":
             from ..ops.image import rgb_batch_to_i420
 
@@ -186,6 +254,28 @@ class Detector:
             boxes = scale_coords(det.boxes[i][v], metas[i]["scale"], metas[i]["pad"],
                                  metas[i]["orig_hw"])
             out.append({"boxes": boxes, "scores": det.scores[i][v],
+                        "classes": det.classes[i][v]})
+        return out
+
+    def _predict_batch_demo(self, batch: np.ndarray, metas: list[dict], n: int) -> list[dict]:
+        """reference_demo postprocess: the jitted program already returns
+        boxes in ORIGINAL pixels (per-image unscale before NMS), so the
+        host only strips padding."""
+        pad_to = batch.shape[0]
+        ratios = np.asarray(
+            [float(m["scale"]) for m in metas] + [1.0] * (pad_to - n), np.float32)
+        pads = np.asarray(
+            [m["pad"] for m in metas] + [(0, 0)] * (pad_to - n), np.float32)
+        ori_wh = np.asarray(
+            [(m["orig_hw"][1], m["orig_hw"][0]) for m in metas]
+            + [(1, 1)] * (pad_to - n), np.float32)
+        det = jax.device_get(self._infer_demo(
+            self.variables, self._to_device(batch),
+            jnp.asarray(ratios), jnp.asarray(pads), jnp.asarray(ori_wh)))
+        out = []
+        for i in range(n):
+            v = det.valid[i]
+            out.append({"boxes": det.boxes[i][v], "scores": det.scores[i][v],
                         "classes": det.classes[i][v]})
         return out
 
@@ -280,8 +370,14 @@ class Detector:
             boxes = np.concatenate([r["boxes"], lab_back[:, 1:5]], axis=0)
             scores = np.concatenate([r["scores"], rf["scores"]], axis=0)
             classes = np.concatenate([r["classes"], lab_back[:, 0].astype(r["classes"].dtype)])
+            # TTA merges in ORIGINAL pixel coordinates, so derive the
+            # per-class offset from the actual coordinate magnitude (the
+            # fixed device-side constant assumes input-size space).
+            from ..ops.nms import class_offset_for
+
+            off = class_offset_for(float(np.abs(boxes).max(initial=0.0)))
             keep = _greedy_nms_np(
-                boxes + classes[:, None].astype(np.float32) * 1e5,
+                boxes + classes[:, None].astype(np.float32) * off,
                 scores, self.iou_thres,
             )
             out.append({"boxes": boxes[keep][: self.max_det],
@@ -308,41 +404,85 @@ class Detector:
         frame_callback: Callable | None = None,
         max_frames: int | None = None,
     ) -> int:
-        """Frame-loop inference (ref inference_video.py); optionally writes
-        an annotated video. Returns frames processed."""
+        """Batched frame-loop inference (ref inference_video.py); optionally
+        writes an annotated video. Returns frames processed.
+
+        A background reader thread decodes ahead into a bounded queue and
+        frames run through the compiled program `batch_size` at a time, so
+        decode overlaps device compute and no device work is wasted on
+        padding (VERDICT r2 weak-4: the old per-frame loop padded 1 frame
+        to the compiled batch, discarding (B-1)/B of every call)."""
+        import queue as _queue
+        import threading
+
         import cv2
 
         from ..viz.draw import draw_detections
 
         cap = cv2.VideoCapture(video_path)
+        q: _queue.Queue = _queue.Queue(maxsize=2 * self.batch_size)
+        stop = threading.Event()
+
+        def reader():
+            n = 0
+            try:
+                while not stop.is_set():
+                    if max_frames is not None and n >= max_frames:
+                        break
+                    ok, frame = cap.read()
+                    if not ok:
+                        break
+                    q.put(cv2.cvtColor(frame, cv2.COLOR_BGR2RGB))
+                    n += 1
+            finally:
+                q.put(None)
+
+        t = threading.Thread(target=reader, daemon=True)
+        t.start()
         writer = None
         count = 0
-        while True:
-            ok, frame = cap.read()
-            if not ok or (max_frames is not None and count >= max_frames):
-                break
-            rgb = cv2.cvtColor(frame, cv2.COLOR_BGR2RGB)
-            res = self.predict_image(rgb)
-            if frame_callback is not None:
-                frame_callback(rgb, res)
-            if out_path is not None:
-                drawn = draw_detections(rgb, res["boxes"], res["scores"],
-                                        res["classes"], self.class_names)
-                if writer is None:
-                    fps = cap.get(cv2.CAP_PROP_FPS) or 25
-                    writer = cv2.VideoWriter(
-                        out_path, cv2.VideoWriter_fourcc(*"mp4v"), fps,
-                        (drawn.shape[1], drawn.shape[0]),
-                    )
-                writer.write(cv2.cvtColor(drawn, cv2.COLOR_RGB2BGR))
-            count += 1
-        cap.release()
-        if writer is not None:
-            writer.release()
+        try:
+            done = False
+            while not done:
+                frames = []
+                while len(frames) < self.batch_size:
+                    item = q.get()
+                    if item is None:
+                        done = True
+                        break
+                    frames.append(item)
+                if not frames:
+                    break
+                for rgb, res in zip(frames, self.predict_batch(frames)):
+                    if frame_callback is not None:
+                        frame_callback(rgb, res)
+                    if out_path is not None:
+                        drawn = draw_detections(rgb, res["boxes"], res["scores"],
+                                                res["classes"], self.class_names)
+                        if writer is None:
+                            fps = cap.get(cv2.CAP_PROP_FPS) or 25
+                            writer = cv2.VideoWriter(
+                                out_path, cv2.VideoWriter_fourcc(*"mp4v"), fps,
+                                (drawn.shape[1], drawn.shape[0]),
+                            )
+                        writer.write(cv2.cvtColor(drawn, cv2.COLOR_RGB2BGR))
+                    count += 1
+        finally:
+            stop.set()
+            try:  # unblock a reader waiting on a full queue
+                while True:
+                    q.get_nowait()
+            except _queue.Empty:
+                pass
+            t.join(timeout=10)
+            cap.release()
+            if writer is not None:
+                writer.release()
         return count
 
     def predict_dataset(
-        self, dataset, fast_decode: bool = True
+        self, dataset, fast_decode: bool | None = None,
+        num_workers: int = 0, worker_backend: str = "process",
     ) -> Iterator[tuple[dict, np.ndarray]]:
         """Prefetch-overlapped inference over a DetectionDataset: the host
         decodes/letterboxes batch k+1 in a background thread while the
@@ -350,12 +490,16 @@ class Detector:
 
         `fast_decode` turns on reduced JPEG decode for >=2x oversized
         images (GT labels are rescaled with the image, so the mAP matching
-        stays self-consistent; see DetectionDataset.decode_size).
+        stays self-consistent; see DetectionDataset.decode_size). Defaults
+        to the detector's `fast_decode` setting (off unless opted in).
 
         Yields ({boxes, scores, classes} in original pixels, gt_labels)."""
         import copy
 
         from ..data.pipeline import DetectionLoader, prefetch_to_device
+
+        if fast_decode is None:
+            fast_decode = self.fast_decode
 
         def with_fast_decode(ds):
             if getattr(ds, "decode_size", None) is None and hasattr(ds, "images_dir"):
@@ -371,6 +515,7 @@ class Detector:
         loader = DetectionLoader(
             dataset, self.input_size, self.batch_size, max_boxes=1,
             train=False, drop_last=False,
+            num_workers=num_workers, worker_backend=worker_backend,
         )
         if self.input_format == "i420":
             from ..ops.image import rgb_batch_to_i420

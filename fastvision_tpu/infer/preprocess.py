@@ -18,7 +18,7 @@ def preprocess_image(
     image: np.ndarray | str,
     input_size: int = 416,
     pad_value: int = 114,
-    fast_decode: bool = True,
+    fast_decode: bool = False,
 ) -> tuple[np.ndarray, dict]:
     """RGB uint8 (or path) -> (letterboxed uint8 [S,S,3], meta).
 
@@ -49,7 +49,7 @@ def preprocess_batch(
     images: Sequence[np.ndarray | str],
     input_size: int = 416,
     pad_value: int = 114,
-    fast_decode: bool = True,
+    fast_decode: bool = False,
 ) -> tuple[np.ndarray, list[dict]]:
     """-> (uint8 [B,S,S,3], metas)."""
     outs, metas = [], []

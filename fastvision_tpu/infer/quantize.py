@@ -95,16 +95,19 @@ def quantize_variables(
             dotted = "/".join(path)
             if any(k in dotted for k in skip):
                 return None
-            if not (isinstance(c, dict) and "amax" in c):
-                if not _has_bn(p):
-                    # a plain nn.Conv named 'conv' inside a non-ConvBN module
-                    # (e.g. the Faster R-CNN RPN head) — only ConvBN sows
-                    # calibration data, so no amax here means "not a ConvBN"
-                    return None
+            has_amax = isinstance(c, dict) and "amax" in c
+            if not has_amax and _has_bn(p):
                 raise ValueError(
                     f"no calibration absmax for ConvBN at {dotted!r} — was "
                     "calibrate() run with the same model structure?"
                 )
+            if not has_amax:
+                # a plain nn.Conv named 'conv' inside a non-ConvBN module
+                # (e.g. the Faster R-CNN RPN head) — only ConvBN sows
+                # calibration data, so no amax here means "not a ConvBN".
+                # Fall through to the dict recursion so nested ConvBN
+                # SIBLINGS of the raw conv still get quantized.
+                return _walk_children(p, s, c, path)
             kernel = np.asarray(p["conv"]["kernel"], np.float32)  # [K,K,Cin/g,Cout]
             if _has_bn(p):
                 gamma = np.asarray(p["bn"]["bn"]["scale"], np.float32)
@@ -130,6 +133,9 @@ def quantize_variables(
                     "bias": bias.astype(np.float32)}
         if not isinstance(p, dict):
             return None
+        return _walk_children(p, s, c, path)
+
+    def _walk_children(p, s, c, path):
         out = {}
         for k, v in p.items():
             sub = walk(v, s.get(k, {}) if isinstance(s, dict) else {},

@@ -101,8 +101,9 @@ def i420_to_rgb(y, u, v, dtype=jnp.float32):
     """On-device I420 (YUV 4:2:0) -> RGB float in [0, 255].
 
     y: [B, S, S] uint8; u, v: [B, S/2, S/2] uint8. Matches
-    cv2.cvtColor(..., COLOR_YUV2RGB_I420): BT.601 full-range coefficients
-    with 2x nearest-neighbor chroma upsampling.
+    cv2.cvtColor(..., COLOR_YUV2RGB_I420): studio-swing (video-range)
+    BT.601 coefficients — Y' = 1.164383*(Y-16) — with 2x nearest-neighbor
+    chroma upsampling.
 
     Why: the host->device link is the jpeg->boxes bottleneck on thin-pipe
     hosts (tunnel/remote-device setups; docs/PERF.md). JPEG stores 4:2:0

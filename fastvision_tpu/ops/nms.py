@@ -25,9 +25,24 @@ import jax.numpy as jnp
 from .box import xywh2xyxy
 from .iou import box_iou_matrix
 
-# Coordinate offset separating classes during suppression; matches the demo's
-# constant (demos/yolov3_u/utils/nms.py:44) — larger than any input size.
+# Default coordinate offset separating classes during suppression; matches
+# the demo's constant (demos/yolov3_u/utils/nms.py:44). SAFETY BOUND: the
+# offset must exceed every box coordinate magnitude or adjacent classes'
+# regions overlap and cross-class suppression corrupts results. 4096 covers
+# input sizes up to ~1365 px with the 3x out-of-canvas decode margin; for
+# larger coordinate spaces derive one with `class_offset_for`.
 CLASS_OFFSET = 4096.0
+
+
+def class_offset_for(coord_bound: float) -> float:
+    """Smallest safe per-class offset for boxes whose coordinates lie in
+    (-coord_bound, coord_bound): classes then occupy disjoint regions.
+
+    Decoded YOLO boxes can exceed the input canvas (large anchors; v5 wh
+    up to 4x anchor), so callers should pass a bound with margin — the
+    Detector uses 3 * input_size. Never smaller than the historical
+    CLASS_OFFSET so behavior is unchanged for standard input sizes."""
+    return float(max(CLASS_OFFSET, coord_bound + 1.0))
 
 
 class Detections(NamedTuple):
@@ -97,6 +112,8 @@ def non_max_suppression(
     pre_nms_top_k: int = 1024,
     class_agnostic: bool = False,
     box_format: str = "xywh",
+    class_offset: float = CLASS_OFFSET,
+    score_mode: str = "obj_cls",
 ) -> Detections:
     """Single-image detection NMS over raw predictions [N, 5 + C].
 
@@ -104,6 +121,12 @@ def non_max_suppression(
     contract (detection/tools/NMS.py:5). Steps mirror the reference:
     objectness filter, score = obj * cls, class argmax, NMS, top-max_det —
     but with fixed shapes end-to-end.
+
+    score_mode: 'obj_cls' (default) ranks and reports obj * cls_max;
+    'obj' ranks and reports raw objectness — the yolov3_u demo's NMS
+    semantics (demos/yolov3_u/utils/nms.py:29-52 keeps prediction[:, 4]
+    as the score; its obj*cls rescore line is commented out). Class
+    assignment is argmax(obj * cls) in both modes.
     """
     if prediction.ndim != 2:
         raise ValueError(
@@ -113,7 +136,7 @@ def non_max_suppression(
     num_classes = prediction.shape[-1] - 5
     obj = prediction[:, 4]
     cls_scores = prediction[:, 5:] * obj[:, None]
-    scores_all = jnp.max(cls_scores, axis=-1)
+    scores_all = obj if score_mode == "obj" else jnp.max(cls_scores, axis=-1)
     classes_all = jnp.argmax(cls_scores, axis=-1).astype(jnp.int32)
     valid = obj > conf_thres
 
@@ -135,7 +158,7 @@ def non_max_suppression(
     if class_agnostic or num_classes == 1:
         nms_boxes = boxes
     else:
-        nms_boxes = boxes + (top_classes.astype(boxes.dtype) * CLASS_OFFSET)[:, None]
+        nms_boxes = boxes + (top_classes.astype(boxes.dtype) * class_offset)[:, None]
 
     keep = suppression_mask(nms_boxes, top_scores, iou_thres)
     final_scores = jnp.where(keep, top_scores, -jnp.inf)
@@ -157,14 +180,32 @@ def non_max_suppression_multilabel(
     max_det: int = 300,
     pre_nms_top_k: int = 1024,
     box_format: str = "xywh",
+    class_offset: float = CLASS_OFFSET,
+    min_wh: float = 2.0,
+    max_wh: float = 7680.0,
 ) -> Detections:
     """Multi-label NMS: every (box, class) pair above threshold is its own
     candidate — the serving variant (ref customize_service.py:224-317
-    ultralytics NMS with multi_label=True, conf .001 / iou .6)."""
+    ultralytics NMS with multi_label=True, conf .001 / iou .6).
+
+    min_wh/max_wh replicate the ultralytics width-height constraint
+    (customize_service.py:243 `min_wh, max_wh = 2, 7680`): boxes with any
+    side outside (min_wh, max_wh) get objectness zeroed, so no candidate
+    pair survives the confidence threshold. Requires box_format='xywh'
+    input (the constraint reads w/h columns); pass min_wh=0 to disable
+    for pre-converted xyxy input."""
     if prediction.ndim != 2:
         raise ValueError(f"expected [N, 5+C], got {prediction.shape}")
     n, width = prediction.shape
     c = width - 5
+    if min_wh > 0 and box_format == "xywh":
+        wh_ok = (
+            (prediction[:, 2] >= min_wh) & (prediction[:, 2] <= max_wh)
+            & (prediction[:, 3] >= min_wh) & (prediction[:, 3] <= max_wh)
+        )
+        prediction = prediction.at[:, 4].set(
+            jnp.where(wh_ok, prediction[:, 4], 0.0)
+        )
     scores = prediction[:, 5:] * prediction[:, 4:5]  # [N, C]
     flat_scores = jnp.where(scores > conf_thres, scores, -jnp.inf).reshape(-1)
     k = min(pre_nms_top_k, n * c)
@@ -175,7 +216,7 @@ def non_max_suppression_multilabel(
     boxes = prediction[box_idx, :4].astype(jnp.float32)
     if box_format == "xywh":
         boxes = xywh2xyxy(boxes)
-    nms_boxes = boxes + (top_classes.astype(boxes.dtype) * CLASS_OFFSET)[:, None]
+    nms_boxes = boxes + (top_classes.astype(boxes.dtype) * class_offset)[:, None]
     keep = suppression_mask(nms_boxes, top_scores, iou_thres)
     final_scores = jnp.where(keep, top_scores, -jnp.inf)
     out_scores, out_idx = jax.lax.top_k(final_scores, min(max_det, k))
@@ -196,6 +237,7 @@ def batched_non_max_suppression(
     pre_nms_top_k: int = 1024,
     class_agnostic: bool = False,
     box_format: str = "xywh",
+    class_offset: float = CLASS_OFFSET,
 ) -> Detections:
     """Batch NMS: [B, N, 5 + C] -> Detections with leading batch dim.
 
@@ -210,5 +252,6 @@ def batched_non_max_suppression(
         pre_nms_top_k=pre_nms_top_k,
         class_agnostic=class_agnostic,
         box_format=box_format,
+        class_offset=class_offset,
     )
     return jax.vmap(fn)(prediction)

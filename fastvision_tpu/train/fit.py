@@ -203,8 +203,21 @@ class Fit:
                 val_metrics = self._validate(epoch)
             self.logger.log(self.global_step, epoch=epoch, train_loss=train_loss, **val_metrics)
 
-            metric = val_metrics.get(self.metric_key, train_loss)
-            if self.plateau is not None:
+            # Plateau/best tracking must compare like with like: with
+            # eval_every > 1, alternating val-metric and train-loss values
+            # (different scales) would falsely reset/trip the patience
+            # counter. A fresh metric exists on eval epochs (or every epoch
+            # when no evaluator is configured, where train_loss IS the
+            # metric); in between, hold the last seen value for checkpoint
+            # metadata and skip the plateau update.
+            expects_val = self.evaluator is not None and self.val_loader is not None
+            fresh = bool(val_metrics) or not expects_val
+            if fresh:
+                metric = val_metrics.get(self.metric_key, train_loss)
+                self._last_metric = metric
+            else:
+                metric = getattr(self, "_last_metric", train_loss)
+            if self.plateau is not None and fresh:
                 self.plateau.update(metric)
             if self.ckpt is not None and (self.save_every_epoch or epoch == self.epochs - 1):
                 self.ckpt.save(

@@ -158,6 +158,30 @@ def test_plateau_integration(det_data, tmp_path):
     assert plateau.best is not None
 
 
+def test_plateau_metric_consistent_with_eval_every(det_data, tmp_path):
+    """VERDICT r2 weak-3: with eval_every > 1 the plateau scheduler must
+    only see the val metric (on eval epochs), never raw train_loss on the
+    epochs in between — mixed scales falsely reset/trip the patience."""
+
+    class CountingPlateau(PlateauScheduler):
+        def __init__(self, **kw):
+            super().__init__(**kw)
+            self.calls = []
+
+        def update(self, m):
+            self.calls.append(float(m))
+            super().update(m)
+
+    plateau = CountingPlateau(patience=2, gamma=0.1)
+    fit = make_yolo_fit(det_data, tmp_path, epochs=4, plateau=plateau,
+                        eval_every=2, metric_key="map50", metric_mode="max")
+    fit.evaluator = lambda state, loader: {"map50": 0.5}
+    fit.run()
+    # eval fires on epochs 1 and 3 only -> exactly two plateau updates,
+    # both with the val metric (0.5), never a train loss
+    assert plateau.calls == [0.5, 0.5]
+
+
 def test_classification_fit(tmp_path, rng):
     """2-class classification on synthetic data via Fit + accuracy eval."""
     import cv2
@@ -204,6 +228,39 @@ def test_classification_fit(tmp_path, rng):
     fit.run()
     acc = fit._validate(0)["accuracy"]
     assert acc >= 0.9, acc
+
+
+def test_classification_eval_ragged_last_batch(tmp_path, rng):
+    """VERDICT r2 weak-2: a ragged last eval batch is padded by repeating
+    samples; the accuracy denominator must count only the real ones."""
+    import cv2
+
+    from fastvision_tpu.data import ClassificationDataset
+
+    root = tmp_path / "ragged"
+    os.makedirs(root / "val" / "a")
+    os.makedirs(root / "val" / "b")
+    for i in range(6):  # 6 class-a + 4 class-b = 10 samples, batch 8
+        cv2.imwrite(str(root / "val" / "a" / f"{i}.jpg"),
+                    np.full((16, 16, 3), 40, np.uint8))
+    for i in range(4):
+        cv2.imwrite(str(root / "val" / "b" / f"{i}.jpg"),
+                    np.full((16, 16, 3), 210, np.uint8))
+
+    loader = ClassificationLoader(
+        ClassificationDataset(str(root), "val"), input_size=16, batch_size=8,
+        train=False)
+    batches = list(loader.epoch(0))
+    assert [b["num_real"] for b in batches] == [8, 2]
+
+    # eval_step always predicts class 0: real accuracy = 6/10 exactly.
+    # Counting padded duplicates would give a different denominator.
+    def eval_step(state, batch):
+        n = batch["images"].shape[0]
+        return jnp.tile(jnp.asarray([[1.0, 0.0]]), (n, 1))
+
+    acc = classification_evaluator(eval_step)(None, loader)["accuracy"]
+    assert acc == pytest.approx(6 / 10)
 
 
 def test_ema_tracking(det_data, tmp_path):

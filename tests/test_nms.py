@@ -149,3 +149,35 @@ def test_multilabel_suppresses_within_class(rng):
         jnp.asarray(pred), conf_thres=0.1, max_det=8, pre_nms_top_k=16
     )
     assert int(np.asarray(det.valid).sum()) == 1
+
+
+def test_class_offset_for_bound():
+    """class_offset_for: never below the historical constant; exceeds the
+    coordinate bound once coordinates outgrow it (VERDICT r2 weak-6)."""
+    from fastvision_tpu.ops.nms import CLASS_OFFSET, class_offset_for
+
+    assert class_offset_for(100.0) == CLASS_OFFSET
+    assert class_offset_for(3 * 416.0) == CLASS_OFFSET
+    assert class_offset_for(10000.0) == 10001.0
+
+
+def test_class_offset_prevents_cross_class_collision():
+    """With coordinates beyond the default offset, adjacent classes' shifted
+    regions collide and cross-class suppression corrupts results; a derived
+    offset keeps both detections."""
+    # class-1 box at x~50 shifted by 4096 lands exactly on the class-0 box
+    # at x~4146 -> identical boxes after offset -> one wrongly suppressed
+    pred = np.zeros((4, 7), np.float32)  # 2 classes, xywh+obj+cls
+    pred[0] = [4146, 4146, 20, 20, 0.9, 1.0, 0.0]  # class 0, large coords
+    pred[1] = [50, 50, 20, 20, 0.8, 0.0, 1.0]    # class 1
+    kw = dict(conf_thres=0.1, iou_thres=0.5, max_det=8, pre_nms_top_k=8)
+
+    bad = non_max_suppression(jnp.asarray(pred), **kw)  # default 4096
+    assert int(np.asarray(bad.valid).sum()) == 1  # demonstrates the hazard
+
+    from fastvision_tpu.ops.nms import class_offset_for
+
+    good = non_max_suppression(
+        jnp.asarray(pred), class_offset=class_offset_for(8192.0), **kw
+    )
+    assert int(np.asarray(good.valid).sum()) == 2
