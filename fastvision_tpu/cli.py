@@ -96,18 +96,20 @@ def cmd_train(args, overrides):
     val_ds = DetectionDataset(cfg.data.data_root, cfg.data.val_dir, cfg.data.cache)
     aug = Augmentation([HorizontalFlip(p=0.5), HSVJitter(p=0.5)])
     emit = "i420" if cfg.data.i420 else "rgb"
+    workers = dict(num_workers=cfg.data.num_workers,
+                   worker_backend=cfg.data.worker_backend)
     train_loader = DetectionLoader(
         train_ds, cfg.data.input_size, cfg.data.batch_size, cfg.data.max_boxes,
         train=True, augmentation=aug, mosaic_prob=0.5, seed=cfg.train.seed,
-        emit=emit,
+        emit=emit, **workers,
     )
     val_loader = DetectionLoader(
         val_ds, cfg.data.input_size, cfg.data.batch_size, cfg.data.max_boxes,
-        train=False, emit=emit,
+        train=False, emit=emit, **workers,
     )
     no_aug_loader = DetectionLoader(
         train_ds, cfg.data.input_size, cfg.data.batch_size, cfg.data.max_boxes,
-        train=True, seed=cfg.train.seed, emit=emit,
+        train=True, seed=cfg.train.seed, emit=emit, **workers,
     )
 
     loss_obj = YOLOv3Loss(anchors, num_classes=cfg.model.num_classes,
@@ -206,14 +208,17 @@ def _train_faster_rcnn(cfg, args):
         grad_clip_norm=cfg.train.grad_clip_norm or 10.0,  # ref clips to 10
     )
     emit = "i420" if cfg.data.i420 else "rgb"
+    workers = dict(num_workers=cfg.data.num_workers,
+                   worker_backend=cfg.data.worker_backend)
     train_loader = DetectionLoader(
         DetectionDataset(cfg.data.data_root, cfg.data.train_dir, cfg.data.cache),
         size, cfg.data.batch_size, cfg.data.max_boxes, train=True,
-        seed=cfg.train.seed, emit=emit,
+        seed=cfg.train.seed, emit=emit, **workers,
     )
     val_loader = DetectionLoader(
         DetectionDataset(cfg.data.data_root, cfg.data.val_dir, cfg.data.cache),
         size, cfg.data.batch_size, cfg.data.max_boxes, train=False, emit=emit,
+        **workers,
     )
     steps_per_epoch = max(len(train_loader), 1)
     fit = Fit(
@@ -465,7 +470,17 @@ def cmd_anchors(args, overrides):
     ds = DetectionDataset(cfg.data.data_root, cfg.data.train_dir)
     gen = AnchorGenerator(datasets=[ds], k=args.k, cache_dir=args.cache_dir,
                           init=args.init)
-    anchors = gen.get_anchors()
+    if getattr(args, "plot", ""):
+        # scatter (w, h) colored by assigned cluster + the anchor centers
+        # (ref ANCHOR.py:111-115 plot)
+        from .core.plots import plot_anchors
+        from .ops.anchors import kmeans_anchors
+
+        wh = gen._scan_wh()
+        anchors, assign = kmeans_anchors(wh, k=args.k, init=args.init)
+        print(f"anchor plot -> {plot_anchors(wh, anchors, assign, args.plot)}")
+    else:
+        anchors = gen.get_anchors()
     print("anchors (w, h), area-ascending:")
     for w, h in anchors:
         print(f"  {w:.1f} {h:.1f}")
@@ -544,6 +559,9 @@ def main(argv=None):
     p.add_argument("-k", type=int, default=9)
     p.add_argument("--cache-dir", default="./cache")
     p.add_argument("--init", choices=["random", "++"], default="random")
+    p.add_argument("--plot", default="",
+                   help="write the (w,h) cluster scatter plot to this path "
+                        "(ref ANCHOR.py:111)")
     p = common(sub.add_parser("export"))
     p.add_argument("--ckpt", default="")
     p.add_argument("--out", required=True)

@@ -94,6 +94,9 @@ class DataConfig:
     batch_size: int = 32
     max_boxes: int = 120  # fixed label padding (replaces dynamic collate)
     num_workers: int = 4
+    # 'process' = DecodePool fork workers + shared-memory ring (scales
+    # decode/augment with cores); 'thread' = GIL-bound cv2 pool
+    worker_backend: str = "process"
     cache: bool = False
     # ship train/val batches as packed YUV 4:2:0 (half the host->device
     # bytes; decoded on device inside the jitted step). Wins on hosts where

@@ -283,7 +283,7 @@ class Detector:
         return self.predict_batch([image], tta=tta)[0]
 
     def quantize(self, calib_images: Sequence[np.ndarray | str],
-                 skip: Sequence[str] = ()) -> None:
+                 skip: Sequence[str] = (), percentile: bool = False) -> None:
         """Switch this detector to int8 (w8a8 PTQ) inference in place.
 
         `calib_images` (a handful of representative images/paths) calibrate
@@ -297,7 +297,8 @@ class Detector:
         arrs = [imread_rgb(im) if isinstance(im, str) else im for im in calib_images]
         batch, _ = preprocess_batch(arrs, self.input_size)
         x = normalize_images(jnp.asarray(batch), jnp.float32, imagenet=self._imagenet)
-        self.variables = quantize_model(self._model, self.variables, [x], skip=skip)
+        self.variables = quantize_model(self._model, self.variables, [x],
+                                        skip=skip, percentile=percentile)
 
     def _predict_batch_canvas(self, images: Sequence[np.ndarray | str]) -> list[dict]:
         """device_letterbox path: host decodes into a fixed uint8 canvas (no

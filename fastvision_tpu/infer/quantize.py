@@ -77,10 +77,16 @@ def quantize_variables(
     calib: dict,
     skip: Sequence[str] = (),
     eps: float = BN_EPS,
+    percentile: bool = False,
 ) -> dict:
     """variables + calibration absmax tree -> variables with a 'quant'
     collection (int8 kernels, scales, folded biases) for every ConvBN+BN
     whose path is not matched by a `skip` substring.
+
+    percentile=True clips the activation range at the calibrated 99.9th
+    percentile of |x| instead of the absolute max — robust to rare
+    outliers widening the int8 grid (use when absmax calibration costs
+    accuracy on real data; both values are recorded by `calibrate`).
 
     The float params are kept untouched alongside — the same variables
     still run the float path under train=True or if 'quant' is dropped.
@@ -127,7 +133,8 @@ def quantize_variables(
             w_amax = np.abs(w).reshape(-1, w.shape[-1]).max(axis=0)
             w_scale = np.maximum(w_amax / 127.0, 1e-12).astype(np.float32)
             w_q = np.clip(np.round(w / w_scale), -127, 127).astype(np.int8)
-            in_scale = np.float32(max(float(np.asarray(c["amax"])) / 127.0, 1e-12))
+            a_key = "q999" if percentile and "q999" in c else "amax"
+            in_scale = np.float32(max(float(np.asarray(c[a_key])) / 127.0, 1e-12))
             n_quantized += 1
             return {"w_q": w_q, "w_scale": w_scale, "in_scale": in_scale,
                     "bias": bias.astype(np.float32)}
@@ -156,6 +163,7 @@ def quantize_variables(
 
 
 def quantize_model(model, variables: dict, batches: Iterable,
-                   skip: Sequence[str] = ()) -> dict:
+                   skip: Sequence[str] = (), percentile: bool = False) -> dict:
     """calibrate + quantize in one call. `batches` are model inputs."""
-    return quantize_variables(variables, calibrate(model, variables, batches), skip=skip)
+    return quantize_variables(variables, calibrate(model, variables, batches),
+                              skip=skip, percentile=percentile)

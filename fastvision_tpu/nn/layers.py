@@ -63,8 +63,13 @@ class ConvBN(nn.Module):
         # input absmax for post-training quantization calibration; recorded
         # only when the caller made 'quant_calib' mutable (sow no-ops and
         # costs nothing otherwise)
-        self.sow("quant_calib", "amax",
-                 jnp.max(jnp.abs(x.astype(jnp.float32))),
+        ax = jnp.abs(x.astype(jnp.float32))
+        self.sow("quant_calib", "amax", jnp.max(ax),
+                 reduce_fn=jnp.maximum, init_fn=lambda: jnp.float32(0))
+        # 99.9th-percentile |x| for outlier-clipped calibration
+        # (quantize_variables(percentile=True)). DCE'd from compiled
+        # programs whenever 'quant_calib' is not mutable, like amax.
+        self.sow("quant_calib", "q999", jnp.quantile(ax, 0.999),
                  reduce_fn=jnp.maximum, init_fn=lambda: jnp.float32(0))
         bias = self.use_bias if self.use_bias is not None else not self.use_bn
         # explicit symmetric padding (k//2): identical to SAME at stride 1,

@@ -190,6 +190,11 @@ def test_cli_anchors_smoke(tmp_path, rng):
     main(["anchors", "--config", str(cfg), "-k", "3",
           "--cache-dir", str(tmp_path / "cache")])
     assert (tmp_path / "cache" / "anchors.json").exists()
+    # --plot writes the cluster scatter (ref ANCHOR.py:111)
+    main(["anchors", "--config", str(cfg), "-k", "3",
+          "--cache-dir", str(tmp_path / "cache2"),
+          "--plot", str(tmp_path / "anchors.png")])
+    assert (tmp_path / "anchors.png").stat().st_size > 0
 
 
 def test_predict_batch_chunks_oversized_input(detector, rng):

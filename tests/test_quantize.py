@@ -197,3 +197,25 @@ def test_yolov3_full_quantization_runs():
     # head logits correlate strongly with the float model's
     c = np.corrcoef(np.asarray(ref[0]).ravel(), np.asarray(out[0]).ravel())[0, 1]
     assert c > 0.98, c
+
+
+def test_percentile_calibration_clips_outliers():
+    """percentile=True uses the calibrated 99.9th-percentile |x| instead of
+    absmax: an injected outlier widens the absmax grid but not the
+    percentile one, so the percentile path reconstructs the bulk better."""
+    m, v, x = _randomized_convbn(jax.random.key(5))
+    x_out = np.asarray(x).copy()
+    x_out[0, 0, 0, 0] = 500.0  # single extreme outlier
+    x_out = jnp.asarray(x_out)
+    amax = calibrate(m, v, [x_out])
+
+    def in_scale(qv):
+        return float(np.asarray(qv["quant"]["in_scale"]))
+
+    q_abs = quantize_variables(v, amax)
+    q_pct = quantize_variables(v, amax, percentile=True)
+    assert in_scale(q_pct) < in_scale(q_abs) / 10  # outlier excluded
+    ref = m.apply(v, x, train=False)  # outlier-free eval batch
+    err_abs = float(jnp.abs(m.apply(q_abs, x, train=False) - ref).mean())
+    err_pct = float(jnp.abs(m.apply(q_pct, x, train=False) - ref).mean())
+    assert err_pct < err_abs
