@@ -27,6 +27,7 @@ from __future__ import annotations
 
 import atexit
 import multiprocessing as mp
+import queue as _queue
 from collections import deque
 from multiprocessing import shared_memory
 from typing import Callable, Iterable, Iterator
@@ -124,7 +125,15 @@ class DecodePool:
         # still writing slots) in the pipe — drain them fully before
         # reusing the ring, or stale writes would corrupt fresh slots
         while self._outstanding > 0:
-            self._result_q.get()
+            try:
+                self._result_q.get(timeout=30)
+            except _queue.Empty:
+                dead = [p.pid for p in self._procs if not p.is_alive()]
+                if dead:
+                    raise RuntimeError(
+                        f"DecodePool worker process(es) died: {dead}"
+                    ) from None
+                continue
             self._outstanding -= 1
 
         items = iter(items)
@@ -149,7 +158,15 @@ class DecodePool:
         submit_while_possible()
         while next_pos < submitted or not done_submitting:
             while next_pos not in pending:
-                pos, slot, shape, aux, err = self._result_q.get()
+                try:
+                    pos, slot, shape, aux, err = self._result_q.get(timeout=30)
+                except _queue.Empty:
+                    dead = [p.pid for p in self._procs if not p.is_alive()]
+                    if dead:  # e.g. OOM-killed: fail loudly, don't hang
+                        raise RuntimeError(
+                            f"DecodePool worker process(es) died: {dead}"
+                        ) from None
+                    continue
                 self._outstanding -= 1
                 if err is not None:
                     raise RuntimeError(f"DecodePool worker failed: {err}")

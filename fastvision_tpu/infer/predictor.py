@@ -501,6 +501,11 @@ class Detector:
 
         if fast_decode is None:
             fast_decode = self.fast_decode
+        if self.postprocess_mode == "reference_demo" and fast_decode:
+            raise ValueError(
+                "postprocess_mode='reference_demo' needs scalar letterbox "
+                "scales; disable fast_decode"
+            )
 
         def with_fast_decode(ds):
             if getattr(ds, "decode_size", None) is None and hasattr(ds, "images_dir"):
@@ -515,7 +520,7 @@ class Detector:
                 dataset = with_fast_decode(dataset)
         loader = DetectionLoader(
             dataset, self.input_size, self.batch_size, max_boxes=1,
-            train=False, drop_last=False,
+            train=False, drop_last=False, pad_value=self.pad_value,
             num_workers=num_workers, worker_backend=worker_backend,
         )
         if self.input_format == "i420":
@@ -534,17 +539,36 @@ class Detector:
                                         device_keys=("y", "u", "v"))
         else:
             stream = prefetch_to_device(loader.epoch(0), mesh=None)
+        demo = self.postprocess_mode == "reference_demo"
         for batch in stream:
             if self.input_format == "i420":
                 det: Detections = jax.device_get(self._infer_i420(
                     self.variables, batch["y"], batch["u"], batch["v"]))
+            elif demo:
+                # demo chain: per-image unscale before NMS inside the jit;
+                # boxes come back already in ORIGINAL pixels
+                n, metas = batch["num_real"], batch["meta"]
+                pad_to = self.batch_size
+                ratios = np.asarray([float(m["scale"]) for m in metas]
+                                    + [1.0] * (pad_to - n), np.float32)
+                pads = np.asarray([m["pad"] for m in metas]
+                                  + [(0, 0)] * (pad_to - n), np.float32)
+                ori_wh = np.asarray(
+                    [(m["orig_hw"][1], m["orig_hw"][0]) for m in metas]
+                    + [(1, 1)] * (pad_to - n), np.float32)
+                det = jax.device_get(self._infer_demo(
+                    self.variables, batch["images"], jnp.asarray(ratios),
+                    jnp.asarray(pads), jnp.asarray(ori_wh)))
             else:
                 det = jax.device_get(self._infer(self.variables, batch["images"]))
             for i in range(batch["num_real"]):
                 meta = batch["meta"][i]
                 v = det.valid[i]
-                boxes = scale_coords(det.boxes[i][v], meta["scale"], meta["pad"],
-                                     meta["orig_hw"])
+                if demo:
+                    boxes = det.boxes[i][v]
+                else:
+                    boxes = scale_coords(det.boxes[i][v], meta["scale"],
+                                         meta["pad"], meta["orig_hw"])
                 yield (
                     {"boxes": boxes, "scores": det.scores[i][v],
                      "classes": det.classes[i][v]},

@@ -66,11 +66,17 @@ class ConvBN(nn.Module):
         ax = jnp.abs(x.astype(jnp.float32))
         self.sow("quant_calib", "amax", jnp.max(ax),
                  reduce_fn=jnp.maximum, init_fn=lambda: jnp.float32(0))
-        # 99.9th-percentile |x| for outlier-clipped calibration
-        # (quantize_variables(percentile=True)). DCE'd from compiled
-        # programs whenever 'quant_calib' is not mutable, like amax.
-        self.sow("quant_calib", "q999", jnp.quantile(ax, 0.999),
-                 reduce_fn=jnp.maximum, init_fn=lambda: jnp.float32(0))
+        if self.is_mutable_collection("quant_calib") and not self.is_initializing():
+            # 99.9th-percentile |x| for outlier-clipped calibration
+            # (quantize_variables(percentile=True)) — recorded ONLY during
+            # calibrate()'s mutable=['quant_calib'] passes. Never at init:
+            # there every collection is mutable and the flatten+sort of a
+            # bs256 activation OOMs HBM (observed: 22.6 GB allocation at
+            # 416px init). Subsampled to <= 64k elements to bound the sort.
+            f = ax.reshape(-1)
+            f = f[:: max(1, f.size // 65536)]
+            self.sow("quant_calib", "q999", jnp.quantile(f, 0.999),
+                     reduce_fn=jnp.maximum, init_fn=lambda: jnp.float32(0))
         bias = self.use_bias if self.use_bias is not None else not self.use_bn
         # explicit symmetric padding (k//2): identical to SAME at stride 1,
         # but at stride 2 XLA's SAME pads right-biased while torch's pad=1 is

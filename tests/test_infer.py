@@ -340,3 +340,35 @@ def test_predict_video_batched(detector, tmp_path, rng):
     direct = detector.predict_image(rgb0)
     np.testing.assert_allclose(res0["boxes"], direct["boxes"], atol=1e-4)
     np.testing.assert_array_equal(res0["classes"], direct["classes"])
+
+
+def test_demo_mode_predict_dataset_matches_predict_batch(tmp_path, rng):
+    """reference_demo postprocess through predict_dataset (the evaluate
+    path) must equal the predict_batch demo path image-for-image."""
+    import cv2
+
+    from fastvision_tpu.data import DetectionDataset
+
+    root = tmp_path / "demo_ds"
+    os.makedirs(root / "val" / "images")
+    os.makedirs(root / "val" / "labels")
+    paths = []
+    for i in range(3):
+        img = rng.integers(0, 255, (120, 160, 3), np.uint8)
+        p = str(root / "val" / "images" / f"{i}.jpg")
+        cv2.imwrite(p, img)
+        (root / "val" / "labels" / f"{i}.txt").write_text("0 10 10 100 100\n")
+        paths.append(p)
+
+    model = YOLOv3(num_classes=3)
+    variables = model.init(jax.random.key(0), jnp.zeros((1, 96, 96, 3)), train=True)
+    det = Detector(model, variables, ANCHORS, input_size=96, batch_size=2,
+                   conf_thres=0.3, dtype=jnp.float32, pad_value=0,
+                   postprocess_mode="reference_demo")
+    via_batch = det.predict_batch(paths)
+    via_ds = [r for r, _ in det.predict_dataset(DetectionDataset(str(root), "val"))]
+    assert len(via_ds) == 3
+    for a, b in zip(via_batch, via_ds):
+        np.testing.assert_allclose(a["boxes"], b["boxes"], atol=1e-3)
+        np.testing.assert_array_equal(a["classes"], b["classes"])
+        np.testing.assert_allclose(a["scores"], b["scores"], atol=1e-5)
