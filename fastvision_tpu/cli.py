@@ -493,6 +493,12 @@ def cmd_export(args, overrides):
 
     cfg = _load_config(args, overrides)
     det = _detector_from_cfg(cfg, args.ckpt)
+    if getattr(args, "int8", False):
+        # quantized variables ('quant' collection) bake into the exported
+        # graph: ConvBN routes through its int8 path automatically
+        from .data import DetectionDataset
+
+        _quantize_detector(det, DetectionDataset(cfg.data.data_root, cfg.data.val_dir))
     from .infer.export import export_savedmodel
 
     example = np.zeros((args.batch, cfg.data.input_size, cfg.data.input_size, 3),
@@ -566,6 +572,9 @@ def main(argv=None):
     p.add_argument("--ckpt", default="")
     p.add_argument("--out", required=True)
     p.add_argument("--batch", type=int, default=1)
+    p.add_argument("--int8", action="store_true",
+                   help="bake int8 w8a8 PTQ into the exported graph "
+                        "(calibrates on val images)")
 
     args, overrides = parser.parse_known_args(argv)
     overrides = [o for o in overrides if "=" in o]
