@@ -63,8 +63,14 @@ class SlowFast(nn.Module):
         between constraints, inserting halo exchanges over ICI."""
         if self.time_axis is None:
             return x
+        # UNCONSTRAINED on every non-time dim: a hard `None` (replicated)
+        # on the batch dim would clobber an outer data-parallel sharding —
+        # on a ('data' x 'time') mesh GSPMD then resharded batch->time by
+        # full rematerialization every constraint (observed in the driver
+        # dryrun). Leaving them open lets batch stay data-sharded.
+        u = P.UNCONSTRAINED
         return jax.lax.with_sharding_constraint(
-            x, P(None, self.time_axis, None, None, None)
+            x, P(u, self.time_axis, u, u, u)
         )
 
     def _pathway(self, x, width_mult: float, temporal_stem: bool, prefix: str, train):
