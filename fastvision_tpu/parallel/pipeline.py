@@ -1,0 +1,110 @@
+"""Pipeline (stage) parallelism: GPipe-style microbatch streaming.
+
+The reference has nothing like this (its only strategy is DataParallel,
+SURVEY.md §2.5); conv backbones are small enough that dp/tp/sp cover
+them. The hook exists for depth-dominated models whose layers exceed one
+chip: N identical-shape stages laid out over a mesh axis, microbatches
+streamed through with `ppermute` ring shifts — the TPU-native GPipe.
+
+Design (the scaling-book pipelining recipe, jax-native):
+
+  - Stage parameters are STACKED on a leading n_stages dim and sharded
+    over the stage axis, so each device holds exactly its stage's params
+    (`shard_map` + `jax.tree.map(lambda p: p[0], ...)` inside unstacks
+    the local shard).
+  - One `lax.scan` over n_micro + n_stages - 1 ticks: each tick every
+    device applies its stage to its current activation, then the ring
+    `ppermute` shifts activations one stage to the right; device 0 feeds
+    the next microbatch, the last device banks finished microbatches.
+  - The whole schedule is differentiable (ppermute transposes to the
+    reverse shift), so `jax.grad` of a pipelined forward IS GPipe
+    backward — no hand-written reverse schedule.
+
+Bubble fraction is (n_stages - 1) / (n_micro + n_stages - 1); stream
+enough microbatches to amortize. All stages must share one activation
+shape/dtype (homogeneous stages) — the classic GPipe restriction.
+"""
+from __future__ import annotations
+
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+from jax import lax, shard_map
+from jax.sharding import Mesh, PartitionSpec as P
+
+from ..core.mesh import MODEL_AXIS
+
+
+def pipeline_apply(
+    stage_fn: Callable[[Any, jnp.ndarray], jnp.ndarray],
+    stacked_params: Any,
+    microbatches: jnp.ndarray,  # [n_micro, mb, ...] — streamed in order
+    mesh: Mesh,
+    axis_name: str = MODEL_AXIS,
+) -> jnp.ndarray:
+    """Run `y = stage_{n-1}(...stage_0(x))` as an n-device pipeline.
+
+    stage_fn(params_i, x) -> y applies ONE stage (same in/out shape).
+    stacked_params: pytree whose leaves have leading dim n_stages
+    (stage i's params at index i), sharded over `axis_name` by the
+    caller or here.
+    microbatches: [n_micro, mb, ...]; returns [n_micro, mb, ...] outputs.
+    """
+    n_stages = mesh.shape[axis_name]
+
+    def local(params_local, mbs):
+        # params_local: leaves [1, ...] — this device's stage
+        p = jax.tree.map(lambda a: a[0], params_local)
+        idx = lax.axis_index(axis_name)
+        n_micro = mbs.shape[0]
+        mb_shape = mbs.shape[1:]
+        ticks = n_micro + n_stages - 1
+        shift = [(i, (i + 1) % n_stages) for i in range(n_stages)]
+
+        def tick(carry, t):
+            acts, outs = carry  # acts: [mb, ...] current activation here
+            # device 0 ingests microbatch t (others keep their activation)
+            feed = lax.dynamic_index_in_dim(
+                mbs, jnp.minimum(t, n_micro - 1), keepdims=False
+            )
+            x = jnp.where(idx == 0, feed, acts)
+            y = stage_fn(p, x)
+            # bank the finished microbatch on the LAST device before the
+            # ring shift: microbatch m finishes there at tick m + n - 1
+            m = t - (n_stages - 1)
+            mi = jnp.clip(m, 0, n_micro - 1)
+            cur = lax.dynamic_index_in_dim(outs, mi, keepdims=False)
+            outs = lax.dynamic_update_index_in_dim(
+                outs, jnp.where(m >= 0, y, cur), mi, 0
+            )
+            acts = lax.ppermute(y, axis_name, shift)
+            return (acts, outs), None
+
+        # initial carries are device-varying (each device's activation
+        # diverges immediately) — pcast marks them so scan's carry types
+        # line up under shard_map's varying-axis tracking
+        outs0 = lax.pcast(
+            jnp.zeros((n_micro,) + mb_shape, mbs.dtype),
+            (axis_name,), to="varying",
+        )
+        acts0 = lax.pcast(
+            jnp.zeros(mb_shape, mbs.dtype), (axis_name,), to="varying"
+        )
+        (acts, outs), _ = lax.scan(tick, (acts0, outs0), jnp.arange(ticks))
+        # only the last device's banked outputs are real; psum after
+        # masking broadcasts them (cheap: zeros elsewhere)
+        outs = jnp.where(idx == n_stages - 1, outs, jnp.zeros_like(outs))
+        return lax.psum(outs, axis_name)
+
+    return shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(axis_name), P()),
+        out_specs=P(),
+    )(stacked_params, microbatches)
+
+
+def stack_stage_params(params_list: list) -> Any:
+    """Stack per-stage param pytrees on a new leading dim (stage index)."""
+    return jax.tree.map(lambda *xs: jnp.stack(xs), *params_list)
