@@ -157,10 +157,16 @@ def h2d_bandwidth(jax, jnp, mb=32, reps=3):
 
 
 def jpeg_to_boxes(jax, jnp, model, variables, anchors, n_images=256,
-                  num_workers=2):
+                  num_workers=None):
     """Detector.predict_dataset throughput from JPEG bytes on disk — the
     north-star path (BASELINE.json: jpeg->boxes img/s). Host decode runs
-    in DecodePool worker processes overlapping device dispatch."""
+    in DecodePool worker processes overlapping device dispatch — except
+    on a single-core host, where worker IPC competes with the H2D
+    transfer loop for the one core and HALVES throughput (measured
+    2026-08-17: 100.6 img/s serial vs 52.3 with 2 workers, 91% vs 48%
+    link saturation), so workers auto-disable there."""
+    if num_workers is None:
+        num_workers = max(0, min(4, (os.cpu_count() or 1) - 1))
     from fastvision_tpu.data import DetectionDataset
     from fastvision_tpu.infer import Detector
 
@@ -256,12 +262,14 @@ def main():
         "ceiling_fraction": round(e2e / ceiling, 3),
         "train_img_s_bs32_416": round(train_ips, 1),
         "host_cores": os.cpu_count(),
-        "note": "dev host = 1 core behind a ~37 MB/s tunnel: jpeg->boxes is "
-                "link-bound here (ceiling_fraction = saturation of the "
-                "measured link); device_img_s is the per-chip program rate "
-                "and decode_img_s the per-core host decode budget — on a "
-                "real TPU-VM host (100+ cores, >10 GB/s PCIe) the host "
-                "stages outrun device_img_s.",
+        "note": "dev host = 1 core behind a shared tunnel whose bandwidth "
+                "swings 19-40 MB/s across days: jpeg->boxes is link-bound "
+                "here (ceiling_fraction = saturation of the same-run "
+                "measured link; compare THAT across rounds, not raw img/s); "
+                "device_img_s is the per-chip program rate and decode_img_s "
+                "the per-core host decode budget — on a real TPU-VM host "
+                "(100+ cores, >10 GB/s PCIe) the host stages outrun "
+                "device_img_s.",
     }
     if int8_ips is not None:
         out["int8_img_s"] = round(int8_ips, 1)
