@@ -200,12 +200,13 @@ def jpeg_to_boxes(jax, jnp, model, variables, anchors, n_images=256,
     return best
 
 
-def train_path(jax, jnp, model, variables, anchors):
+def train_path(jax, jnp, model, variables, anchors, B=32):
     """Reference train config: bs32 @416 (its published number is bs32@608
-    on 2 GPUs, ~21 img/s/GPU; BASELINE.md)."""
+    on 2 GPUs, ~21 img/s/GPU; BASELINE.md). B=128 shows the batch-scaling
+    headroom (per-image cost drops ~40% bs32->bs128, docs/PERF.md)."""
     from fastvision_tpu.train import TrainState, YOLOv3Loss, build_optimizer, make_train_step
 
-    B, S = 32, 416
+    S = 416
     loss_obj = YOLOv3Loss(anchors, num_classes=80)
 
     def loss_fn(heads, batch):
@@ -214,7 +215,9 @@ def train_path(jax, jnp, model, variables, anchors):
 
     tx = build_optimizer("sgd", variables["params"], weight_decay=5e-4)
     step = make_train_step(model.apply, loss_fn, tx)
-    state = TrainState.create(variables, tx)
+    # the jitted step donates its state: seed it with COPIES so the
+    # caller's variables survive a second train_path call (bs128 run)
+    state = TrainState.create(jax.tree.map(jnp.copy, dict(variables)), tx)
     rng = np.random.default_rng(0)
     labels = np.full((B, 32, 5), -1, np.float32)
     labels[:, :4] = rng.uniform(0.2, 0.6, (B, 4, 5))
@@ -243,6 +246,7 @@ def main():
     e2e = jpeg_to_boxes(jax, jnp, model, variables, anchors)
     # fresh fp32-master variables for training (bench model is bf16-act)
     train_ips = train_path(jax, jnp, model, variables, anchors)
+    train_ips128 = train_path(jax, jnp, model, variables, anchors, B=128)
 
     # north-star decomposition (VERDICT r2 next-1): jpeg->boxes headline
     # plus the measured per-stage ceilings that bound it on THIS host —
@@ -261,6 +265,7 @@ def main():
         "h2d_ceiling_img_s_i420": round(ceiling, 1),
         "ceiling_fraction": round(e2e / ceiling, 3),
         "train_img_s_bs32_416": round(train_ips, 1),
+        "train_img_s_bs128_416": round(train_ips128, 1),
         "host_cores": os.cpu_count(),
         "note": "dev host = 1 core behind a shared tunnel whose bandwidth "
                 "swings 19-40 MB/s across days: jpeg->boxes is link-bound "
