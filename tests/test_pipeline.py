@@ -65,3 +65,18 @@ def test_pipeline_grad_matches_sequential(rng):
     for a, b in zip(jax.tree.leaves(g_seq), jax.tree.leaves(g_pipe)):
         np.testing.assert_allclose(np.asarray(b), np.asarray(a),
                                    rtol=1e-4, atol=1e-5)
+
+
+def test_pipeline_fewer_microbatches_than_stages(rng):
+    """Drain-phase correctness when n_micro < n_stages (bubble-dominated)."""
+    params_list = make_params(rng)
+    stacked = stack_stage_params(params_list)
+    mbs = jnp.asarray(rng.normal(0, 1, (2, MB, C)), jnp.float32)  # 2 < 4
+    want = sequential(params_list, mbs)
+    mesh = create_mesh(data=2, model=N_STAGES, time=1)
+    with mesh:
+        got = jax.jit(
+            lambda s, m: pipeline_apply(stage_fn, s, m, mesh)
+        )(stacked, mbs)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-6)
