@@ -64,6 +64,14 @@ class VisionService:
         images = [self._decode_bytes(b) for b in payloads]
         return [self._to_json(r) for r in self.detector.predict_batch(images)]
 
+    def predict_stream(self, payloads: Sequence[bytes]):
+        """Yield one JSON-able result per payload, produced batch-by-batch
+        (device batch_size at a time) so callers can stream large jobs
+        without waiting for the whole set (POST /predict_stream)."""
+        bs = self.detector.batch_size
+        for i in range(0, len(payloads), bs):
+            yield from self.predict_many(payloads[i : i + bs])
+
 
 class _MicroBatcher:
     """Aggregates concurrent requests into one compiled-batch device call.
@@ -161,14 +169,45 @@ def make_server(service: VisionService, host: str = "127.0.0.1",
             else:
                 self.send_error(404)
 
+        def _chunk(self, data: bytes):
+            self.wfile.write(f"{len(data):X}\r\n".encode() + data + b"\r\n")
+            self.wfile.flush()
+
+        def _stream(self, body: bytes):
+            """POST /predict_stream: request body is NDJSON lines
+            {"image": "<base64>"}; response is CHUNKED NDJSON, one result
+            line per image, flushed as each device micro-batch completes —
+            large jobs stream instead of buffering server-side."""
+            import base64
+
+            payloads = [
+                base64.b64decode(json.loads(line)["image"])
+                for line in body.splitlines() if line.strip()
+            ]
+            self.send_response(200)
+            self.send_header("Content-Type", "application/x-ndjson")
+            self.send_header("Transfer-Encoding", "chunked")
+            self.end_headers()
+            try:
+                for res in service.predict_stream(payloads):
+                    self._chunk(json.dumps(res).encode() + b"\n")
+            except Exception as e:  # noqa: BLE001 — headers already sent:
+                # report mid-stream failures as a final NDJSON error line
+                self._chunk(json.dumps({"error": str(e)}).encode() + b"\n")
+            self._chunk(b"")  # terminal 0-length chunk
+
         def do_POST(self):
-            if self.path.rstrip("/") not in ("", "/predict"):
+            path = self.path.rstrip("/")
+            if path not in ("", "/predict", "/predict_stream"):
                 self.send_error(404)
                 return
             length = int(self.headers.get("Content-Length", 0))
             body = self.rfile.read(length)
             try:
-                self._send(200, batcher.predict(body))
+                if path == "/predict_stream":
+                    self._stream(body)
+                else:
+                    self._send(200, batcher.predict(body))
             except Exception as e:  # noqa: BLE001 — serving boundary
                 self._send(400, {"error": str(e)})
 

@@ -372,3 +372,45 @@ def test_demo_mode_predict_dataset_matches_predict_batch(tmp_path, rng):
         np.testing.assert_allclose(a["boxes"], b["boxes"], atol=1e-3)
         np.testing.assert_array_equal(a["classes"], b["classes"])
         np.testing.assert_allclose(a["scores"], b["scores"], atol=1e-5)
+
+
+def test_predict_stream_chunked_ndjson(detector, rng):
+    """POST /predict_stream: NDJSON-in, chunked NDJSON-out, one result per
+    image equal to the non-streaming path, for n > batch_size."""
+    import base64
+    import http.client
+    import socket
+    import time
+
+    import cv2
+
+    from fastvision_tpu.infer.serving import make_server
+
+    svc = VisionService(detector)
+    s = socket.socket()
+    s.bind(("127.0.0.1", 0))
+    port = s.getsockname()[1]
+    s.close()
+    server = make_server(svc, "127.0.0.1", port)
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    time.sleep(0.2)
+    try:
+        imgs = [rng.integers(0, 255, (64, 64, 3)).astype(np.uint8)
+                for _ in range(5)]  # batch_size=2 -> 3 device batches
+        bufs = [cv2.imencode(".jpg", im)[1].tobytes() for im in imgs]
+        body = "\n".join(
+            json.dumps({"image": base64.b64encode(b).decode()}) for b in bufs
+        ).encode()
+        c = http.client.HTTPConnection("127.0.0.1", port, timeout=120)
+        c.request("POST", "/predict_stream", body=body)
+        r = c.getresponse()
+        assert r.status == 200
+        assert r.getheader("Content-Type") == "application/x-ndjson"
+        lines = [json.loads(l) for l in r.read().splitlines() if l.strip()]
+        c.close()
+        assert len(lines) == 5
+        for line, buf in zip(lines, bufs):
+            assert line == svc.predict(buf)
+    finally:
+        server.shutdown()
