@@ -83,6 +83,7 @@ class DecodePool:
         num_workers: int,
         slot_shape: tuple[int, ...],
         n_slots: int | None = None,
+        start_method: str = "fork",
     ):
         self.work_fn = work_fn
         self.num_workers = int(num_workers)
@@ -93,7 +94,10 @@ class DecodePool:
         n_slots = n_slots or max(4 * self.num_workers, 8)
         self.n_slots = n_slots
         slot_bytes = int(np.prod(self.slot_shape))
-        ctx = mp.get_context("fork")  # inherit work_fn/state without pickling
+        # 'fork' inherits work_fn/state without pickling (default);
+        # 'forkserver'/'spawn' require a picklable work_fn but avoid
+        # forking a multi-threaded parent (e.g. after jax/TPU init)
+        ctx = mp.get_context(start_method)
         self._shm = shared_memory.SharedMemory(
             create=True, size=slot_bytes * n_slots
         )

@@ -118,11 +118,21 @@ class DetectionLoader:
             raise ValueError(f"emit must be 'rgb' or 'i420', got {emit!r}")
         self.emit = emit
         self.num_workers = num_workers
-        if worker_backend not in ("thread", "process"):
+        # 'process' may carry a start-method suffix: 'process:forkserver'
+        # or 'process:spawn' for environments where forking a threaded
+        # parent is unacceptable (work_fn pickles — loader state is plain
+        # data). Bare 'process' == 'process:fork'.
+        backend, _, start = worker_backend.partition(":")
+        if backend not in ("thread", "process") or (
+            start and (backend != "process"
+                       or start not in ("fork", "forkserver", "spawn"))
+        ):
             raise ValueError(
-                f"worker_backend must be 'thread' or 'process', got {worker_backend!r}"
+                "worker_backend must be 'thread', 'process', or "
+                f"'process:fork|forkserver|spawn', got {worker_backend!r}"
             )
-        self.worker_backend = worker_backend
+        self.worker_backend = backend
+        self.worker_start_method = start or "fork"
         self._pool = None
         self._decode_pool = None
         if num_workers and num_workers > 1 and worker_backend == "thread":
@@ -185,6 +195,7 @@ class DetectionLoader:
             self._decode_pool = DecodePool(
                 self._sample_work, self.num_workers, (s, s, 3),
                 n_slots=max(4 * self.num_workers, 2 * self.batch_size),
+                start_method=self.worker_start_method,
             )
         return self._decode_pool
 

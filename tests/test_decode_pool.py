@@ -124,3 +124,37 @@ def test_loader_backends_identical(det_root, train):
         assert any(
             not np.array_equal(a[0], b[0]) for a, b in zip(procs, procs2)
         )
+
+
+def test_loader_forkserver_backend_identical(det_root):
+    """'process:forkserver' pickles the work_fn into a clean server process
+    (no fork-from-threaded-parent) and must match the serial batches."""
+    from fastvision_tpu.data import (
+        Augmentation,
+        DetectionDataset,
+        DetectionLoader,
+        HorizontalFlip,
+    )
+
+    ds = DetectionDataset(det_root, "val")
+    kw = dict(input_size=64, batch_size=4, max_boxes=4, train=True, seed=3,
+              augmentation=Augmentation([HorizontalFlip(p=0.5)]),
+              mosaic_prob=0.5)
+    serial = _collect(DetectionLoader(ds, **kw))
+    fs_loader = DetectionLoader(ds, num_workers=2,
+                                worker_backend="process:forkserver", **kw)
+    fs = _collect(fs_loader)
+    fs_loader._decode_pool.close()
+    for (si, sl, sn), (fi, fl, fn) in zip(serial, fs):
+        np.testing.assert_array_equal(si, fi)
+        np.testing.assert_array_equal(sl, fl)
+        assert sn == fn
+
+
+def test_loader_bad_backend_suffix_rejected(det_root):
+    from fastvision_tpu.data import DetectionDataset, DetectionLoader
+
+    ds = DetectionDataset(det_root, "val")
+    for bad in ("process:greenlet", "thread:fork", "procss"):
+        with pytest.raises(ValueError):
+            DetectionLoader(ds, 64, 4, worker_backend=bad)
