@@ -66,6 +66,8 @@ def make_train_step(
     tx,
     has_batch_stats: bool = True,
     donate: bool = True,
+    accum_steps: int = 1,
+    remat: bool = False,
 ) -> Callable:
     """Build `train_step(state, batch, lr) -> (state, metrics)`.
 
@@ -74,6 +76,17 @@ def make_train_step(
     - batch: dict with 'images' (+ whatever loss_fn reads: 'labels', ...)
     - lr: scalar — the schedule value for this step, set into the injected
       optimizer hyperparam (no recompilation across steps/epochs).
+    - accum_steps: IN-STEP gradient accumulation — the batch is split into
+      this many microbatches along axis 0 (must divide the batch size) and
+      lax.scan'ed, so peak activation memory is one microbatch while the
+      optimizer sees the full-batch mean grads in ONE update. Exact-equal
+      to full-batch grads for mean-reduced losses without BN; with BN,
+      statistics chain per-microbatch like every framework's accumulation.
+      (Orthogonal to `build_optimizer(accum_steps=N)` = optax MultiSteps,
+      which accumulates ACROSS loader batches and updates every Nth call.)
+    - remat: jax.checkpoint the forward — activations are recomputed
+      during backward instead of stored, trading ~1/3 more FLOPs for a
+      large activation-memory cut (the TPU lever for big batch/resolution).
     """
 
     def compute_loss(params, batch_stats, batch, rng):
@@ -82,22 +95,68 @@ def make_train_step(
         if has_batch_stats:
             variables["batch_stats"] = batch_stats
             mutable = ["batch_stats"]
-        out = apply_fn(
-            variables,
-            batch["images"],
-            train=True,
-            mutable=mutable,
-            rngs={"dropout": rng} if rng is not None else None,
-        )
+
+        def fwd(variables, images):
+            # only pass mutable when non-empty: flax returns an
+            # (outputs, vars) tuple for ANY explicit mutable, even []
+            kw = {"mutable": mutable} if mutable else {}
+            return apply_fn(
+                variables,
+                images,
+                train=True,
+                rngs={"dropout": rng} if rng is not None else None,
+                **kw,
+            )
+
+        if remat:
+            fwd = jax.checkpoint(fwd)
+        out = fwd(variables, batch["images"])
         outputs, updates = out if mutable else (out, {})
         loss, metrics = loss_fn(outputs, batch)
         return loss.astype(jnp.float32), (metrics, updates.get("batch_stats", batch_stats))
 
     grad_fn = jax.value_and_grad(compute_loss, has_aux=True)
 
-    def train_step(state: TrainState, batch: dict, lr, rng=None):
+    def grads_single(state, batch, rng):
         (loss, (metrics, new_stats)), grads = grad_fn(
             state.params, state.batch_stats, batch, rng
+        )
+        return loss, metrics, new_stats, grads
+
+    def grads_accum(state, batch, rng):
+        # [B, ...] -> [accum_steps, B/accum_steps, ...]; scan microbatches,
+        # chaining batch_stats and summing grads (fp32 params -> fp32 sums)
+        def split(x):
+            b = x.shape[0]
+            if b % accum_steps:
+                raise ValueError(
+                    f"batch size {b} not divisible by accum_steps={accum_steps}"
+                )
+            return x.reshape(accum_steps, b // accum_steps, *x.shape[1:])
+
+        mbs = jax.tree.map(split, batch)
+
+        def micro(carry, xs):
+            stats, gsum = carry
+            mb, i = xs
+            r = None if rng is None else jax.random.fold_in(rng, i)
+            (loss, (metrics, new_stats)), g = grad_fn(state.params, stats, mb, r)
+            gsum = jax.tree.map(jnp.add, gsum, g)
+            return (new_stats, gsum), (loss, metrics)
+
+        zeros = jax.tree.map(jnp.zeros_like, state.params)
+        (new_stats, gsum), (losses, metricses) = jax.lax.scan(
+            micro, (state.batch_stats, zeros),
+            (mbs, jnp.arange(accum_steps)),
+        )
+        grads = jax.tree.map(lambda g: g / accum_steps, gsum)
+        metrics = jax.tree.map(lambda a: a.mean(0), metricses)
+        return losses.mean(), metrics, new_stats, grads
+
+    def train_step(state: TrainState, batch: dict, lr, rng=None):
+        loss, metrics, new_stats, grads = (
+            grads_single(state, batch, rng) if accum_steps == 1
+            else grads_accum(state, batch, rng)
         )
         opt_state = set_lr(state.opt_state, lr)
         updates, opt_state = tx.update(grads, opt_state, state.params)

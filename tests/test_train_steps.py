@@ -174,3 +174,90 @@ def test_gradient_accumulation(rng):
     pa = np.asarray(jax.tree.leaves(s_acc.params)[0])
     assert not np.array_equal(pa, p0)  # update applied after 2nd microbatch
     np.testing.assert_allclose(pa, pf, rtol=0.2, atol=1e-3)  # same direction/scale
+
+
+def test_in_step_accumulation_exact_without_bn(rng):
+    """make_train_step(accum_steps=N): microbatched grads == full-batch
+    grads EXACTLY for a mean-reduced loss without BN (one jitted program,
+    peak activation memory = one microbatch)."""
+    import flax.linen as nn
+
+    class NoBN(nn.Module):
+        @nn.compact
+        def __call__(self, x, train=False):
+            x = jax.nn.relu(nn.Conv(8, (3, 3))(x))
+            return nn.Dense(4)(x.mean(axis=(1, 2)))
+
+    model = NoBN()
+    x = jnp.asarray(rng.normal(0, 1, (8, 16, 16, 3)), jnp.float32)
+    y = jnp.asarray(rng.integers(0, 4, 8), jnp.int32)
+    variables = model.init(jax.random.key(0), x, train=True)
+
+    def loss_fn(logits, batch):
+        return cross_entropy(logits, batch["labels"]), {}
+
+    def one(accum):
+        tx = build_optimizer("sgd", variables["params"], weight_decay=0.0,
+                             momentum=0.0, nesterov=False)
+        step = make_train_step(model.apply, loss_fn, tx,
+                               has_batch_stats=False, donate=False,
+                               accum_steps=accum)
+        s = TrainState.create(variables, tx)
+        s, m = step(s, {"images": x, "labels": y}, 0.1)
+        return float(m["loss"]), jax.device_get(s.params)
+
+    loss_full, p_full = one(1)
+    loss_acc, p_acc = one(4)
+    assert abs(loss_full - loss_acc) < 1e-6
+    for a, b in zip(jax.tree.leaves(p_full), jax.tree.leaves(p_acc)):
+        np.testing.assert_allclose(b, a, rtol=1e-6, atol=1e-7)
+
+
+def test_in_step_accumulation_bn_model_runs(rng):
+    """With BN, in-step accumulation chains batch_stats per microbatch and
+    stays finite (semantic contract, not bit-equality)."""
+    model, _, _ = small_classifier_setup()
+    x = jnp.asarray(rng.normal(0, 1, (8, 32, 32, 3)), jnp.float32)
+    y = jnp.asarray(rng.integers(0, 4, 8), jnp.int32)
+    variables = model.init(jax.random.key(0), x, train=True)
+
+    def loss_fn(logits, batch):
+        return cross_entropy(logits, batch["labels"]), {}
+
+    tx = build_optimizer("sgd", variables["params"])
+    step = make_train_step(model.apply, loss_fn, tx, donate=False,
+                           accum_steps=2)
+    s = TrainState.create(variables, tx)
+    s, m = step(s, {"images": x, "labels": y}, 0.01)
+    assert np.isfinite(float(m["loss"]))
+    # stats moved (chained microbatch updates actually landed)
+    a0 = jax.tree.leaves(variables["batch_stats"])[0]
+    a1 = jax.tree.leaves(s.batch_stats)[0]
+    assert not np.array_equal(np.asarray(a0), np.asarray(a1))
+
+
+def test_remat_matches_no_remat(rng):
+    """remat=True recomputes activations in backward — numerically the
+    same step, just cheaper memory."""
+    model, _, _ = small_classifier_setup()
+    x = jnp.asarray(rng.normal(0, 1, (8, 32, 32, 3)), jnp.float32)
+    y = jnp.asarray(rng.integers(0, 4, 8), jnp.int32)
+    variables = model.init(jax.random.key(0), x, train=True)
+
+    def loss_fn(logits, batch):
+        return cross_entropy(logits, batch["labels"]), {}
+
+    def one(remat):
+        tx = build_optimizer("sgd", variables["params"], weight_decay=0.0,
+                             momentum=0.0, nesterov=False)
+        step = make_train_step(model.apply, loss_fn, tx, donate=False,
+                               remat=remat)
+        s = TrainState.create(variables, tx)
+        s, m = step(s, {"images": x, "labels": y}, 0.1)
+        return float(m["loss"]), jax.device_get(s.params)
+
+    loss_a, p_a = one(False)
+    loss_b, p_b = one(True)
+    assert abs(loss_a - loss_b) < 1e-6
+    for a, b in zip(jax.tree.leaves(p_a), jax.tree.leaves(p_b)):
+        np.testing.assert_allclose(b, a, rtol=1e-5, atol=1e-6)
