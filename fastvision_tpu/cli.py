@@ -60,6 +60,19 @@ def _build_detection(cfg, train: bool):
     return model, variables, anchors
 
 
+def _maybe_step_fn(cfg, apply_fn, loss_fn, tx, has_batch_stats=True):
+    """A custom jitted step only when train.microbatch / train.remat ask
+    for one (None lets Fit build the default)."""
+    if cfg.train.microbatch <= 1 and not cfg.train.remat:
+        return None
+    from .train import make_train_step
+
+    return make_train_step(apply_fn, loss_fn, tx,
+                           has_batch_stats=has_batch_stats,
+                           accum_steps=cfg.train.microbatch,
+                           remat=cfg.train.remat)
+
+
 def cmd_train(args, overrides):
     import jax
 
@@ -164,6 +177,7 @@ def cmd_train(args, overrides):
         metric_key="map50",
         metric_mode="max",
         ema_decay=cfg.train.ema_decay,
+        step_fn=_maybe_step_fn(cfg, apply_fn, loss_fn, tx),
     )
     fit.run()
 
@@ -310,6 +324,7 @@ def cmd_train_cls(args, overrides):
         logger=MetricLogger(cfg.train.ckpt_dir),
         resume=args.resume,
         metric_key="accuracy", metric_mode="max",
+        step_fn=_maybe_step_fn(cfg, apply_fn, loss_fn, tx),
     )
     fit.run()
 

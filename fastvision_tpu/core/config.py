@@ -116,7 +116,9 @@ class TrainConfig:
     scheduler: str = "warmup_cosine"  # see train/schedulers.py
     warmup_epochs: int = 3
     grad_clip_norm: float = 0.0  # 0 disables
-    accum_steps: int = 1  # gradient accumulation microbatches
+    accum_steps: int = 1  # optax MultiSteps: update every Nth batch
+    microbatch: int = 1  # in-step accumulation: scan N microbatches/batch
+    remat: bool = False  # jax.checkpoint the forward (activation memory)
     ema_decay: float = 0.0  # >0 enables EMA weights for eval/checkpoint
     neighbor_cells: bool = False  # v5-style expanded YOLO target assignment
     no_aug_epochs: int = 0  # huaweiShip-style final clean-data epochs

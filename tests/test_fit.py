@@ -75,7 +75,7 @@ def det_data(tmp_path_factory):
     return str(root)
 
 
-def make_yolo_fit(det_data, tmp_path, epochs=3, **kw):
+def make_yolo_fit(det_data, tmp_path, epochs=3, step_kwargs=None, **kw):
     model = YOLOv3(num_classes=2, channels=(128, 64, 32),
                    backbone_fn=lambda **k: TinyBackbone(**{k2: v for k2, v in k.items() if k2 != "name"}, name=k.get("name")))
     size = 96
@@ -105,6 +105,10 @@ def make_yolo_fit(det_data, tmp_path, epochs=3, **kw):
                                            pre_nms_top_k=64)
 
     eval_step = make_eval_step(apply_fn, postprocess)
+    if step_kwargs:
+        from fastvision_tpu.train import make_train_step
+
+        kw["step_fn"] = make_train_step(apply_fn, loss_fn, tx, **step_kwargs)
     fit = Fit(
         apply_fn, loss_fn, tx, variables,
         train_loader, val_loader,
@@ -355,3 +359,15 @@ def test_empty_loader_raises(det_data, tmp_path):
     fit.train_loader = Empty()
     with pytest.raises(ValueError, match="zero batches"):
         fit.run()
+
+
+def test_fit_with_microbatch_accum_and_remat(det_data, tmp_path):
+    """The full Fit loop (train + eval + checkpoint) runs with the in-step
+    accumulated + rematerialized step (cfg train.microbatch / train.remat
+    through the CLI's _maybe_step_fn path)."""
+    fit = make_yolo_fit(det_data, tmp_path, epochs=2,
+                        step_kwargs=dict(accum_steps=2, remat=True))
+    state = fit.run()
+    assert int(fit.global_step) == 2 * 2
+    assert fit.ckpt.latest_step() == 1
+    assert all(np.isfinite(x).all() for x in jax.tree.leaves(state.params))
