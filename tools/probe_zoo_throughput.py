@@ -1,0 +1,81 @@
+"""Model-zoo throughput on the live chip: cls + video families."""
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+rng = np.random.default_rng(0)
+
+
+def timed(fn, *args, n, iters=10):
+    out = fn(*args)
+    np.asarray(out).ravel()[:1]
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fn(*args)
+    np.asarray(out).ravel()[:1]
+    return n * iters / (time.perf_counter() - t0)
+
+
+# ---- ResNet-50 @224 bs256 (the canonical cls benchmark) ----
+from fastvision_tpu.models.classification import resnet50
+
+model = resnet50(num_classes=1000, dtype=jnp.bfloat16)
+B = 256
+x0 = jnp.zeros((8, 224, 224, 3), jnp.bfloat16)
+v = model.init(jax.random.key(0), x0, train=True)
+x = jnp.asarray(rng.uniform(0, 1, (B, 224, 224, 3)), jnp.bfloat16)
+
+
+@jax.jit
+def cls_fwd(v, x):
+    return model.apply(v, x, train=False).astype(jnp.float32).sum()
+
+
+print(f"resnet50 bf16 fwd bs{B}@224: {timed(cls_fwd, v, x, n=B):.1f} img/s",
+      flush=True)
+
+from fastvision_tpu.infer import quantize_model
+
+calib = jnp.asarray(rng.uniform(0, 1, (8, 224, 224, 3)), jnp.bfloat16)
+try:
+    qv = quantize_model(model, v, [calib])
+    print(f"resnet50 int8 fwd bs{B}@224: {timed(cls_fwd, qv, x, n=B):.1f} img/s",
+          flush=True)
+except Exception as e:
+    print(f"resnet50 int8 failed: {type(e).__name__}: {str(e)[:150]}", flush=True)
+
+# ---- SlowFast-R50 16x224 bs16 (paper config is 64x224; T=16 fits dev) ----
+from fastvision_tpu.models.video import c3d, slowfast_resnet50
+
+sf = slowfast_resnet50(num_classes=400, alpha=4, dtype=jnp.bfloat16)
+Bv, T, Sv = 16, 16, 224
+clip0 = jnp.zeros((2, T, Sv, Sv, 3), jnp.bfloat16)
+vv = sf.init(jax.random.key(0), clip0, train=True)
+clips = jnp.asarray(rng.uniform(0, 1, (Bv, T, Sv, Sv, 3)), jnp.bfloat16)
+
+
+@jax.jit
+def sf_fwd(v, x):
+    return sf.apply(v, x, train=False).astype(jnp.float32).sum()
+
+
+print(f"slowfast50 bf16 fwd bs{Bv} {T}x{Sv}: {timed(sf_fwd, vv, clips, n=Bv):.1f} clip/s",
+      flush=True)
+
+# ---- C3D 16x112 bs32 (its canonical config) ----
+cm = c3d(num_classes=101, dtype=jnp.bfloat16)
+Bc = 32
+c0 = jnp.zeros((2, 16, 112, 112, 3), jnp.bfloat16)
+vc = cm.init(jax.random.key(0), c0, train=True)
+cc = jnp.asarray(rng.uniform(0, 1, (Bc, 16, 112, 112, 3)), jnp.bfloat16)
+
+
+@jax.jit
+def c3d_fwd(v, x):
+    return cm.apply(v, x, train=False).astype(jnp.float32).sum()
+
+
+print(f"c3d bf16 fwd bs{Bc} 16x112: {timed(c3d_fwd, vc, cc, n=Bc):.1f} clip/s",
+      flush=True)
