@@ -10,6 +10,7 @@ Unifies the reference's per-demo run.py argparse entries
     python -m fastvision_tpu convert --kind coco --ann a.json --images d/ --out o/
     python -m fastvision_tpu anchors --config cfg.yaml -k 9 --init ++
     python -m fastvision_tpu export  --config cfg.yaml --ckpt ckpts/ --out sm/
+    python -m fastvision_tpu generate --out myproject   # project scaffold
 
 Config = dataclass tree <- YAML <- dotted overrides (core.config); dataset
 descriptors use the reference's YAML schema (data_root, dirs, num_classes,
@@ -371,7 +372,8 @@ def cmd_eval(args, overrides):
                              fast_decode=getattr(args, "fast_decode", False))
     ds = DetectionDataset(cfg.data.data_root, cfg.data.val_dir)
     if getattr(args, "int8", False):
-        _quantize_detector(det, ds)
+        _quantize_detector(det, ds,
+                           percentile=getattr(args, "int8_percentile", False))
     res = det.evaluate(
         ds, metric_file=args.metric_file,
         config_note=f"conf {cfg.nms.conf_thres} iou {cfg.nms.iou_thres} "
@@ -416,11 +418,12 @@ def cmd_infer(args, overrides):
         save(args.source, det.predict_image(args.source))
 
 
-def _quantize_detector(det, ds, n_calib: int = 8):
+def _quantize_detector(det, ds, n_calib: int = 8, percentile: bool = False):
     """int8 PTQ with activation calibration on the first val images."""
     imgs = [ds[i][0] for i in range(min(n_calib, len(ds)))]
-    det.quantize(imgs)
-    print(f"int8: quantized with {len(imgs)} calibration images")
+    det.quantize(imgs, percentile=percentile)
+    kind = "99.9th-percentile" if percentile else "absmax"
+    print(f"int8: quantized with {len(imgs)} calibration images ({kind})")
 
 
 def cmd_serve(args, overrides):
@@ -530,7 +533,72 @@ def cmd_export(args, overrides):
           f"uint8 NHWC in, boxes/scores/classes/valid out) -> {path}")
 
 
-def main(argv=None):
+_GENERATED_TRAIN = '''\
+"""Training entry for this project — edit freely; the CLI equivalent is
+`python -m fastvision_tpu train --config cfg.yaml`. Library-consumer
+template (the reference's generate/template-yolov3 scaffold)."""
+import sys
+
+from fastvision_tpu.cli import main
+
+if __name__ == "__main__":
+    main(["train", "--config", "cfg.yaml", *sys.argv[1:]])
+'''
+
+_GENERATED_README = """\
+# {name} — fastvision_tpu project
+
+1. Put your dataset at `data.data_root` from `cfg.yaml`
+   (`<root>/{{train,val}}/images/*.jpg` + `labels/*.txt`,
+   one `cls xmin ymin xmax ymax` pixel-coord line per object), or build it:
+
+       python -m fastvision_tpu convert --kind coco --ann ann.json \\
+           --images imgs/ --out data/ --split train
+
+2. Edit `cfg.yaml` (every field is the framework default; any key can
+   also be overridden on the command line as `section.key=value`).
+
+3. Run:
+
+       python train.py                           # or: fastvision_tpu train --config cfg.yaml
+       python -m fastvision_tpu anchors --config cfg.yaml -k 9
+       python -m fastvision_tpu eval   --config cfg.yaml --ckpt checkpoints/
+       python -m fastvision_tpu infer  --config cfg.yaml --ckpt checkpoints/ --source img/
+       python -m fastvision_tpu serve  --config cfg.yaml --ckpt checkpoints/ --port 8080
+       python -m fastvision_tpu export --config cfg.yaml --ckpt checkpoints/ --out sm/
+"""
+
+
+def cmd_generate(args, overrides):
+    """Scaffold a ready-to-edit project dir: cfg.yaml (full defaulted
+    config), train.py consumer script, README (the reference's
+    generate/template-yolov3 scaffold, run.py:1)."""
+    import os
+
+    import yaml
+
+    from .core.config import Config, apply_overrides, to_dict
+
+    cfg = apply_overrides(Config(), [f"model.name={args.model}", *overrides])
+    out = args.out
+    os.makedirs(out, exist_ok=True)
+    cfg_path = os.path.join(out, "cfg.yaml")
+    if os.path.exists(cfg_path) and not args.force:
+        raise SystemExit(f"{cfg_path} exists — pass --force to overwrite")
+    with open(cfg_path, "w") as f:
+        yaml.safe_dump(to_dict(cfg), f, sort_keys=False)
+    with open(os.path.join(out, "train.py"), "w") as f:
+        f.write(_GENERATED_TRAIN)
+    with open(os.path.join(out, "README.md"), "w") as f:
+        f.write(_GENERATED_README.format(name=os.path.basename(
+            os.path.abspath(out))))
+    print(f"project scaffold -> {out}/ (cfg.yaml, train.py, README.md)")
+
+
+def make_parser() -> argparse.ArgumentParser:
+    """The CLI surface (superset of the reference's run.py argparse flags,
+    generate/template-yolov3/run.py + demos/*/run.py; unknown key=value
+    args flow through as dotted config overrides)."""
     parser = argparse.ArgumentParser("fastvision_tpu")
     sub = parser.add_subparsers(dest="cmd", required=True)
 
@@ -550,6 +618,9 @@ def main(argv=None):
                    help="horizontal-flip test-time augmentation")
     p.add_argument("--int8", action="store_true",
                    help="int8 w8a8 PTQ inference (calibrates on val images)")
+    p.add_argument("--int8-percentile", action="store_true",
+                   help="calibrate activations at the 99.9th percentile of "
+                        "|x| instead of absmax (outlier-robust)")
     p.add_argument("--fast-decode", action="store_true",
                    help="reduced JPEG decode for >=2x oversized images (perf)")
     p = common(sub.add_parser("infer"))
@@ -590,7 +661,18 @@ def main(argv=None):
     p.add_argument("--int8", action="store_true",
                    help="bake int8 w8a8 PTQ into the exported graph "
                         "(calibrates on val images)")
+    p = sub.add_parser("generate",
+                       help="scaffold a new project dir (cfg.yaml + "
+                            "train.py + README)")
+    p.add_argument("--out", required=True)
+    p.add_argument("--model", default="yolov3",
+                   choices=["yolov3", "faster_rcnn"])
+    p.add_argument("--force", action="store_true")
+    return parser
 
+
+def main(argv=None):
+    parser = make_parser()
     args, overrides = parser.parse_known_args(argv)
     overrides = [o for o in overrides if "=" in o]
     {
@@ -602,6 +684,7 @@ def main(argv=None):
         "convert": cmd_convert,
         "anchors": cmd_anchors,
         "export": cmd_export,
+        "generate": cmd_generate,
     }[args.cmd](args, overrides)
 
 

@@ -197,6 +197,52 @@ def test_cli_anchors_smoke(tmp_path, rng):
     assert (tmp_path / "anchors.png").stat().st_size > 0
 
 
+def test_cli_int8_percentile_plumbs_through():
+    """--int8-percentile must reach Detector.quantize(percentile=True)."""
+    from fastvision_tpu.cli import _quantize_detector, make_parser
+
+    args = make_parser().parse_args(
+        ["eval", "--config", "x.yaml", "--int8", "--int8-percentile"])
+    assert args.int8 and args.int8_percentile
+
+    calls = {}
+
+    class FakeDet:
+        def quantize(self, imgs, percentile=False):
+            calls["n"], calls["pct"] = len(imgs), percentile
+
+    class FakeDS:
+        def __len__(self):
+            return 3
+
+        def __getitem__(self, i):
+            return np.zeros((8, 8, 3), np.uint8), None
+
+    _quantize_detector(FakeDet(), FakeDS(), percentile=args.int8_percentile)
+    assert calls == {"n": 3, "pct": True}
+
+
+def test_cli_generate_scaffold(tmp_path):
+    """generate writes a loadable cfg.yaml + train.py + README; overrides
+    land in the scaffolded config; refuses to clobber without --force."""
+    import pytest
+
+    from fastvision_tpu.cli import main
+    from fastvision_tpu.core.config import Config, from_yaml
+
+    out = tmp_path / "proj"
+    main(["generate", "--out", str(out), "--model", "faster_rcnn",
+          "data.num_classes=20", "train.lr=0.01"])
+    cfg = from_yaml(Config, str(out / "cfg.yaml"))
+    assert cfg.model.name == "faster_rcnn"
+    assert cfg.data.num_classes == 20 and cfg.train.lr == 0.01
+    compile((out / "train.py").read_text(), "train.py", "exec")
+    assert "fastvision_tpu" in (out / "README.md").read_text()
+    with pytest.raises(SystemExit, match="--force"):
+        main(["generate", "--out", str(out)])
+    main(["generate", "--out", str(out), "--force"])  # overwrites fine
+
+
 def test_predict_batch_chunks_oversized_input(detector, rng):
     """n > batch_size must chunk internally through the same compiled
     program (VERDICT r1 weak #6), preserving per-image results."""
