@@ -374,6 +374,24 @@ def cmd_eval(args, overrides):
     if getattr(args, "int8", False):
         _quantize_detector(det, ds,
                            percentile=getattr(args, "int8_percentile", False))
+    if getattr(args, "sweep", None):
+        from .infer.predictor import REFERENCE_SWEEP
+
+        if args.sweep == "reference":
+            points = REFERENCE_SWEEP
+        else:
+            points = [tuple(map(float, p.split(":")))
+                      for p in args.sweep.split(",")]
+        rows = det.evaluate_sweep(ds, points,
+                                  metric_file=args.metric_file or None,
+                                  max_images=args.max_images)
+        for r in rows:
+            print(f"conf {r['conf']:.2f} iou {r['iou']:.2f}  "
+                  f"mAP@0.5 {r['map50']:.4f}  mAP@0.5:0.95 {r['map']:.4f}")
+        best = max(rows, key=lambda r: r["map50"])
+        print(f"best mAP@0.5: {best['map50']:.4f} at conf {best['conf']:.2f} "
+              f"iou {best['iou']:.2f}")
+        return
     res = det.evaluate(
         ds, metric_file=args.metric_file,
         config_note=f"conf {cfg.nms.conf_thres} iou {cfg.nms.iou_thres} "
@@ -623,6 +641,11 @@ def make_parser() -> argparse.ArgumentParser:
                         "|x| instead of absmax (outlier-robust)")
     p.add_argument("--fast-decode", action="store_true",
                    help="reduced JPEG decode for >=2x oversized images (perf)")
+    p.add_argument("--sweep", nargs="?", const="reference", default=None,
+                   metavar="C:I,C:I,...",
+                   help="conf:iou threshold sweep (one compile + one data "
+                        "pass for the whole grid); bare --sweep runs the "
+                        "reference's 9-point grid (inference.py:142-179)")
     p = common(sub.add_parser("infer"))
     p.add_argument("--ckpt", default="")
     p.add_argument("--source", required=True)

@@ -126,6 +126,24 @@ class Detector:
 
         self._infer = jax.jit(_infer)
 
+        if not multi_label:
+            # thresholds as TRACED scalars: one compile serves a whole
+            # conf/iou sweep grid (evaluate_sweep) — the reference re-ran
+            # the full model per grid point (inference.py:142-179)
+            def _infer_sweep(v, images_u8, conf, iou):
+                x = normalize_images(images_u8, dtype, imagenet=imagenet)
+                heads = model.apply(v, x, train=False)
+                pred = decode_predictions(
+                    heads, self.anchors, strides, decode_style)
+                return batched_non_max_suppression(
+                    pred.astype(jnp.float32), conf_thres=conf,
+                    iou_thres=iou, max_det=max_det,
+                    class_offset=self._class_offset)
+
+            self._infer_sweep = jax.jit(_infer_sweep)
+        else:
+            self._infer_sweep = None
+
         if postprocess_mode not in ("standard", "reference_demo"):
             raise ValueError(
                 f"postprocess_mode must be 'standard' or 'reference_demo', "
@@ -617,6 +635,76 @@ class Detector:
                 row = " ".join(f"{v:.4f}" for v in r.map_per_iou)
                 f.write(f"# {config_note}\n{header} | mAP@0.5:0.95\n{row} | {r.map:.4f}\n")
         return result
+
+    def evaluate_sweep(
+        self,
+        dataset,
+        points: Sequence[tuple[float, float]],
+        metric_file: str | None = None,
+        max_images: int | None = None,
+    ) -> list[dict]:
+        """(conf_thres, iou_thres) threshold sweep — the reference's tuning
+        workflow whose table produced its best published numbers
+        (demos/yolov3_u/inference.py:142-179) — at a fraction of its cost:
+        the reference re-ran the whole pipeline per grid point; here the
+        thresholds are traced scalars of ONE jitted program, so the grid
+        shares one compile and one data pass (each batch is decoded,
+        letterboxed and uploaded once, then every grid point reuses the
+        device-resident batch — on link-bound hosts the upload IS the
+        cost, so G points run at ~1x eval time instead of Gx).
+
+        Returns one {conf, iou, map50, map} dict per point; with
+        `metric_file`, appends one reference-style table row per point."""
+        from ..data.pipeline import DetectionLoader, prefetch_to_device
+        from ..ops.map import MeanAveragePrecision
+
+        if self._infer_sweep is None:
+            raise ValueError(
+                "evaluate_sweep requires the single-label NMS path "
+                "(multi_label=False)")
+        if self.postprocess_mode != "standard":
+            raise ValueError(
+                "evaluate_sweep supports postprocess_mode='standard' only")
+        points = [(float(c), float(i)) for c, i in points]
+        n = len(dataset) if max_images is None else min(len(dataset), max_images)
+        ds = dataset if n == len(dataset) else _Subset(dataset, n)
+        loader = DetectionLoader(
+            ds, self.input_size, self.batch_size, max_boxes=1, train=False,
+            drop_last=False, pad_value=self.pad_value)
+        metrics = [MeanAveragePrecision() for _ in points]
+        for batch in prefetch_to_device(loader.epoch(0), mesh=None):
+            for m, (conf, iou) in zip(metrics, points):
+                det: Detections = jax.device_get(self._infer_sweep(
+                    self.variables, batch["images"],
+                    jnp.float32(conf), jnp.float32(iou)))
+                for i in range(batch["num_real"]):
+                    meta = batch["meta"][i]
+                    v = det.valid[i]
+                    boxes = scale_coords(det.boxes[i][v], meta["scale"],
+                                         meta["pad"], meta["orig_hw"])
+                    gt = meta["gt_pixels"]
+                    m.update(boxes, det.scores[i][v], det.classes[i][v],
+                             gt[:, 1:5], gt[:, 0])
+        results = []
+        for m, (conf, iou) in zip(metrics, points):
+            r = m.compute()
+            results.append({"conf": conf, "iou": iou,
+                            "map50": r.map50, "map": r.map, "images": n})
+            if metric_file:
+                with open(metric_file, "a") as f:
+                    header = " ".join(f"mAP@{t:.2f}" for t in r.iou_thresholds)
+                    row = " ".join(f"{v:.4f}" for v in r.map_per_iou)
+                    f.write(f"# sweep input_size {self.input_size} "
+                            f"conf_thres {conf} iou_thres {iou}\n"
+                            f"{header} | mAP@0.5:0.95\n{row} | {r.map:.4f}\n")
+        return results
+
+
+# The reference's published sweep grid (demos/yolov3_u/inference.py:142-179)
+REFERENCE_SWEEP = [
+    (0.25, 0.65), (0.25, 0.45), (0.25, 0.35), (0.25, 0.25), (0.25, 0.15),
+    (0.35, 0.25), (0.45, 0.25), (0.55, 0.25), (0.65, 0.25),
+]
 
 
 def _greedy_nms_np(boxes: np.ndarray, scores: np.ndarray, iou_thres: float) -> np.ndarray:

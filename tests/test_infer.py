@@ -222,6 +222,39 @@ def test_cli_int8_percentile_plumbs_through():
     assert calls == {"n": 3, "pct": True}
 
 
+def test_evaluate_sweep_matches_per_point_evaluate(detector, tmp_path, rng):
+    """One-compile sweep == separately-built Detectors at each grid point,
+    exactly (the thresholds are traced, not approximated)."""
+    import cv2
+
+    from fastvision_tpu.data import DetectionDataset
+
+    root = tmp_path / "ds"
+    os.makedirs(root / "val" / "images")
+    os.makedirs(root / "val" / "labels")
+    for i in range(3):
+        cv2.imwrite(str(root / "val" / "images" / f"i{i}.jpg"),
+                    rng.integers(0, 255, (96, 110, 3)).astype(np.uint8))
+        (root / "val" / "labels" / f"i{i}.txt").write_text(
+            "0 10 10 50 50\n1 30 30 90 80\n")
+    ds = DetectionDataset(str(root), "val")
+
+    points = [(0.05, 0.45), (0.3, 0.25)]
+    metric_file = str(tmp_path / "sweep.txt")
+    rows = detector.evaluate_sweep(ds, points, metric_file=metric_file)
+    assert [r["images"] for r in rows] == [3, 3]
+    content = open(metric_file).read()
+    assert content.count("# sweep") == 2 and "conf_thres 0.05" in content
+
+    for (conf, iou), row in zip(points, rows):
+        det_pt = Detector(detector._model, detector.variables, ANCHORS,
+                          input_size=96, batch_size=2, conf_thres=conf,
+                          iou_thres=iou, dtype=jnp.float32)
+        ref = det_pt.evaluate(ds)
+        assert row["map50"] == pytest.approx(ref["map50"], abs=1e-7)
+        assert row["map"] == pytest.approx(ref["map"], abs=1e-7)
+
+
 def test_cli_generate_scaffold(tmp_path):
     """generate writes a loadable cfg.yaml + train.py + README; overrides
     land in the scaffolded config; refuses to clobber without --force."""
