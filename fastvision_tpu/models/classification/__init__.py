@@ -10,6 +10,7 @@ from .resnet import (
     resnext50_32x4d,
     resnext101_32x8d,
 )
+from .vit import ViT, vit_base_patch16, vit_small_patch16, vit_tiny_patch16
 from .vgg import (
     VGG,
     vgg11,

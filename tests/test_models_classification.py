@@ -95,3 +95,55 @@ def test_bf16_compute():
     assert p0.dtype == jnp.float32
     out = model.apply(variables, X.astype(jnp.bfloat16), train=False)
     assert out.dtype == jnp.bfloat16
+
+
+def test_vit_param_count_matches_timm():
+    """ViT-Ti/16 @224 with 1000 classes: 5,717,416 params (timm
+    vit_tiny_patch16_224) — layout-exact, so equality not tolerance."""
+    from fastvision_tpu.models.classification import vit_tiny_patch16
+
+    model = vit_tiny_patch16(num_classes=1000)
+    n = param_count(model, jnp.zeros((1, 224, 224, 3), jnp.float32))
+    assert n == 5_717_416, n
+
+
+def test_vit_forward_and_tokens():
+    from fastvision_tpu.models.classification import ViT
+
+    model = ViT(num_classes=7, dim=32, depth=2, heads=2, patch=16)
+    out = init_and_apply(model, X)
+    assert out.shape == (2, 7) and np.isfinite(np.asarray(out)).all()
+    tok = ViT(dim=32, depth=2, heads=2, patch=16, including_top=False)
+    t = init_and_apply(tok, X)
+    assert t.shape == (2, 1 + (64 // 16) ** 2, 32)
+    with pytest.raises(ValueError, match="divisible"):
+        init_and_apply(ViT(dim=32, depth=1, heads=2, patch=16),
+                       jnp.zeros((1, 50, 50, 3)))
+
+
+def test_vit_train_step_decreases_loss():
+    """rng-free module: runs under the standard jitted train step."""
+    from fastvision_tpu.models.classification import ViT
+    from fastvision_tpu.train import (
+        TrainState, build_optimizer, cross_entropy, make_train_step,
+    )
+
+    model = ViT(num_classes=4, dim=32, depth=2, heads=2, patch=16)
+    variables = model.init(jax.random.key(0), X, train=True)
+
+    def loss_fn(logits, batch):
+        return cross_entropy(logits, batch["labels"]), {}
+
+    tx = build_optimizer("adam", variables["params"])
+    step = make_train_step(model.apply, loss_fn, tx)
+    state = TrainState.create(variables, tx)
+    rng = np.random.default_rng(0)
+    batch = {
+        "images": jnp.asarray(rng.uniform(0, 1, (2, 64, 64, 3)), jnp.float32),
+        "labels": jnp.asarray([0, 3]),
+    }
+    losses = []
+    for _ in range(5):
+        state, metrics = step(state, batch, 1e-3)
+        losses.append(float(metrics["loss"]))
+    assert losses[-1] < losses[0]
