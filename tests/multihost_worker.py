@@ -73,7 +73,27 @@ def main() -> None:
         w, opt_state, loss = step(w, opt_state, x, y)
         losses.append(float(loss))  # global (cross-host) mean loss
 
-    print(json.dumps({"info": info, "losses": losses}))
+    # ---- hybrid phase: dp ACROSS hosts x tp WITHIN each host ----
+    # The real pod layout: the data axis crosses the process (DCN)
+    # boundary while the model axis stays inside one process's devices
+    # (ICI) — jax.devices() orders by process, so create_mesh's reshape
+    # puts the fastest-varying 'model' axis intra-host by construction.
+    from fastvision_tpu.core.mesh import MODEL_AXIS
+
+    mesh2 = create_mesh(data=nproc, model=info["local_device_count"])
+    w2 = np.asarray(jax.random.normal(jax.random.key(1), (8, 4)), np.float32)
+    w2 = jax.device_put(w2, NamedSharding(mesh2, P(None, MODEL_AXIS)))
+    opt_state2 = tx.init(w2)
+    x2 = jax.make_array_from_process_local_data(
+        NamedSharding(mesh2, P(DATA_AXIS)), x_local, (global_bs, 8))
+    y2 = jax.make_array_from_process_local_data(
+        NamedSharding(mesh2, P(DATA_AXIS)), y_local, (global_bs,))
+    losses2 = []
+    for _ in range(3):
+        w2, opt_state2, loss2 = step(w2, opt_state2, x2, y2)
+        losses2.append(float(loss2))
+
+    print(json.dumps({"info": info, "losses": losses, "losses_dp_tp": losses2}))
 
 
 if __name__ == "__main__":

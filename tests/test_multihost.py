@@ -56,3 +56,7 @@ def test_two_process_data_parallel_step():
     # collective ran (each host holds different data shards)
     assert outs[0]["losses"] == outs[1]["losses"]
     assert outs[0]["losses"][0] != outs[0]["losses"][-1]  # it actually trained
+    # hybrid dp(hosts) x tp(intra-host devices) — the pod layout: params
+    # model-sharded inside each host, batch sharded across hosts
+    assert outs[0]["losses_dp_tp"] == outs[1]["losses_dp_tp"]
+    assert outs[0]["losses_dp_tp"][0] != outs[0]["losses_dp_tp"][-1]
