@@ -118,7 +118,11 @@ def decode_scaling(worker_counts=(0, 2, 4, 8), n_images=256):
     (data/decode_pool.py). On a many-core TPU-VM host this shows the
     linear decode scaling that feeds the device rate; on this 1-core dev
     box it documents the single-core decode budget (img/s/core) that a
-    deployment multiplies by its core count."""
+    deployment multiplies by its core count.
+
+    The `i420_w0` field is the fused native JPEG->I420 kernel
+    (native/jpeg_i420.cpp: stored-plane decode, no RGB round-trip) on the
+    same fixture — the path Detector(input_format='i420') feeds from."""
     from fastvision_tpu.data import DetectionDataset, DetectionLoader
 
     root = _jpeg_fixture(n_images)
@@ -136,6 +140,18 @@ def decode_scaling(worker_counts=(0, 2, 4, 8), n_images=256):
         out[f"w{w}"] = round(n / (time.perf_counter() - t0), 1)
         if loader._decode_pool is not None:
             loader._decode_pool.close()
+    from fastvision_tpu import native
+
+    if native.jpeg_i420_available():
+        loader = DetectionLoader(
+            ds, input_size=416, batch_size=32, max_boxes=1, train=False,
+            drop_last=False, emit="i420",
+        )
+        for _ in loader.epoch(0):
+            break
+        t0 = time.perf_counter()
+        n = sum(b["num_real"] for b in loader.epoch(0))
+        out["i420_w0"] = round(n / (time.perf_counter() - t0), 1)
     return out
 
 

@@ -223,6 +223,45 @@ class DetectionDataset:
             image = imread_rgb(self.image_path(idx))
         return image, labels, self.ids[idx]
 
+    def sample_i420(self, idx: int, input_size: int, pad_value: int = 114):
+        """Fused native JPEG -> letterboxed packed I420 sample (the fast
+        host path for i420 eval/inference; native/jpeg_i420.cpp decodes
+        the file's stored YCbCr planes with no RGB round-trip).
+
+        Honors `decode_size` with the same reduction rule as
+        `imread_rgb_scaled` (libjpeg DCT scaling); labels are rescaled
+        into the decoded pixel space exactly like `__getitem__`.
+
+        Returns (packed [S*3/2, S] uint8, labels [N,5] decoded-space
+        pixel xyxy, sample_id, scale, (pad_left, pad_top),
+        (decoded_h, decoded_w)) — or None when the file needs the cv2
+        fallback (non-JPEG, exotic sampling, native lib unavailable)."""
+        from .. import native
+
+        if not native.jpeg_i420_available():
+            return None
+        path = self.image_path(idx)
+        if not path.lower().endswith((".jpg", ".jpeg")):
+            return None
+        with open(path, "rb") as f:
+            data = f.read()
+        r = native.decode_jpeg_i420(
+            data, input_size, pad_value,
+            reduce_target=self.decode_size or 0,
+        )
+        if r is None:
+            return None
+        packed, _scale_f32, pad, (oh, ow), (dh, dw) = r
+        # recompute in double so downstream label math is bit-identical
+        # to the Python letterbox path (the kernel returns float32)
+        scale = input_size / max(dh, dw)
+        labels = read_label_file(os.path.join(self.labels_dir, self.ids[idx] + ".txt"))
+        if (dh, dw) != (oh, ow) and len(labels):
+            labels = labels.copy()
+            labels[:, [1, 3]] *= dw / ow
+            labels[:, [2, 4]] *= dh / oh
+        return packed, labels, self.ids[idx], scale, pad, (dh, dw)
+
 
 class ClassificationDataset:
     """Folder-per-class layout: `<root>/<split>/<class_name>/<img>`.

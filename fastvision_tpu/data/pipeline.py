@@ -98,6 +98,12 @@ class DetectionLoader:
         # buffer [B,S*3/2,S] (half the H2D bytes; normalize_images decodes
         # it on device). Augmentation/mosaic still run in RGB upstream.
         emit: str = "rgb",
+        # Fused native JPEG->I420 decode (native/jpeg_i420.cpp: decode the
+        # file's stored YCbCr planes, no RGB round-trip — ~1.5x the cv2
+        # chain per core). None = auto: on for emit='i420' eval loads
+        # (train=False, no augmentation/mosaic) when the dataset exposes
+        # sample_i420 and the native lib built. False forces the cv2 path.
+        native_jpeg: bool | None = None,
     ):
         self.ds = dataset
         self.input_size = input_size
@@ -133,6 +139,23 @@ class DetectionLoader:
             )
         self.worker_backend = backend
         self.worker_start_method = start or "fork"
+        eligible = (
+            emit == "i420" and not train and augmentation is None
+            and mosaic_prob == 0 and hasattr(dataset, "sample_i420")
+        )
+        if native_jpeg is None:
+            if eligible:
+                from .. import native
+
+                native_jpeg = native.jpeg_i420_available()
+            else:
+                native_jpeg = False
+        elif native_jpeg and not eligible:
+            raise ValueError(
+                "native_jpeg=True needs emit='i420', train=False, no "
+                "augmentation/mosaic, and a dataset with sample_i420"
+            )
+        self.native_jpeg = native_jpeg
         self._pool = None
         self._decode_pool = None
         if num_workers and num_workers > 1 and worker_backend == "thread":
@@ -171,12 +194,37 @@ class DetectionLoader:
             return pad_labels(lab[:, 0], xywhn, self.max_boxes)
         return pad_labels(np.zeros(0), np.zeros((0, 4)), self.max_boxes)
 
+    def _sample_i420(self, idx: int):
+        """Fused-native per-sample i420 eval path: JPEG -> letterboxed
+        packed I420 in one C++ pass (native/jpeg_i420.cpp), cv2-chain
+        fallback per image for non-JPEG / exotic files. Returns
+        (packed uint8 [S*3/2, S], (padded_labels, meta))."""
+        r = self.ds.sample_i420(int(idx), self.input_size, self.pad_value)
+        if r is not None:
+            packed, lab, sid, scale, (px, py), dhw = r
+        else:
+            from ..ops.image import rgb_batch_to_i420_packed
+
+            image, lab, sid = self.ds[int(idx)]
+            out, scale, (px, py) = letterbox(image, self.input_size, self.pad_value)
+            packed = rgb_batch_to_i420_packed(out[None])[0]
+            dhw = image.shape[:2]
+        padded = self._finalize(lab, scale, px, py)
+        meta = {
+            "id": sid, "scale": scale, "pad": (px, py),
+            "orig_hw": dhw, "gt_pixels": lab,
+        }
+        return packed, (padded, meta)
+
     # -- process backend ------------------------------------------------
     def _sample_work(self, item):
         """Full per-sample host pipeline, run inside a DecodePool worker:
         decode + mosaic + augment + letterbox + label finalize. Returns
-        (canvas uint8 [S,S,3], (padded_labels, meta))."""
+        (canvas uint8 [S,S,3] — or packed i420 [S*3/2, S] on the
+        native-jpeg path — , (padded_labels, meta))."""
         pos, idx, epoch_idx = item
+        if self.native_jpeg:
+            return self._sample_i420(int(idx))
         sample_rng = np.random.default_rng((self.seed, epoch_idx, pos))
         image, lab, sid = self._load_raw(int(idx), sample_rng)
         out, scale, (px, py) = letterbox(image, self.input_size, self.pad_value)
@@ -187,13 +235,16 @@ class DetectionLoader:
         }
         return out, (padded, meta)
 
+    def _batch_shape(self):
+        s = self.input_size
+        return (s * 3 // 2, s) if self.native_jpeg else (s, s, 3)
+
     def _get_decode_pool(self):
         if self._decode_pool is None:
             from .decode_pool import DecodePool
 
-            s = self.input_size
             self._decode_pool = DecodePool(
-                self._sample_work, self.num_workers, (s, s, 3),
+                self._sample_work, self.num_workers, self._batch_shape(),
                 n_slots=max(4 * self.num_workers, 2 * self.batch_size),
                 start_method=self.worker_start_method,
             )
@@ -204,8 +255,7 @@ class DetectionLoader:
         nb = len(self)
         n = nb * self.batch_size if self.drop_last else len(order)
         items = ((pos, order[pos], epoch_idx) for pos in range(min(n, len(order))))
-        s = self.input_size
-        batch = np.empty((self.batch_size, s, s, 3), np.uint8)
+        batch = np.empty((self.batch_size, *self._batch_shape()), np.uint8)
         labels, metas, i = [], [], 0
         for view, (padded, meta) in pool.imap(items):
             batch[i] = view
@@ -224,8 +274,8 @@ class DetectionLoader:
             yield self._emit_batch(batch.copy(), labels, metas, real)
 
     def _emit_batch(self, batch, labels, metas, real) -> dict:
-        if self.emit == "i420":
-            from ..ops.image import rgb_batch_to_i420_packed
+        if self.emit == "i420" and not self.native_jpeg:  # native path is
+            from ..ops.image import rgb_batch_to_i420_packed  # packed already
 
             batch = rgb_batch_to_i420_packed(batch)
         return {
@@ -250,6 +300,24 @@ class DetectionLoader:
 
         for b in range(nb):
             idxs = order[b * self.batch_size : (b + 1) * self.batch_size]
+            if self.native_jpeg:
+                if self._pool is not None:
+                    outs = list(self._pool.map(self._sample_i420, idxs))
+                else:
+                    outs = [self._sample_i420(int(i)) for i in idxs]
+                real = len(outs)
+                labels = [o[1][0] for o in outs]
+                metas = [o[1][1] for o in outs]
+                while len(outs) < self.batch_size:  # ragged last eval batch
+                    outs.append(outs[-1])
+                    labels.append(np.full((self.max_boxes, 5), -1, np.float32))
+                yield {
+                    "images": np.stack([o[0] for o in outs]),
+                    "labels": np.stack(labels),
+                    "num_real": real,
+                    "meta": metas,
+                }
+                continue
             work = list(enumerate(idxs, start=b * self.batch_size))
             if self._pool is not None:
                 raws = list(self._pool.map(load, work))

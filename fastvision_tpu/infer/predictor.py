@@ -193,10 +193,12 @@ class Detector:
             raise ValueError("input_format='i420' and device_letterbox are mutually exclusive")
         self.input_format = input_format
         if input_format == "i420":
-            from ..ops.image import i420_to_rgb
+            from ..ops.image import i420_packed_to_rgb
 
-            def _infer_i420(v, y, u, vv):
-                rgb = i420_to_rgb(y, u, vv, dtype)
+            def _infer_i420(v, packed):
+                # one H2D buffer [B, S*3/2, S]; plane split + color decode
+                # fuse into the jitted program (ops/image.py)
+                rgb = i420_packed_to_rgb(packed, dtype)
                 x = normalize_images(rgb, dtype, imagenet=imagenet)
                 heads = model.apply(v, x, train=False)
                 pred = decode_predictions(heads, self.anchors, strides, decode_style)
@@ -257,12 +259,11 @@ class Detector:
         if self.postprocess_mode == "reference_demo":
             return self._predict_batch_demo(batch, metas, n)
         if self.input_format == "i420":
-            from ..ops.image import rgb_batch_to_i420
+            from ..ops.image import rgb_batch_to_i420_packed
 
-            y, u, v = rgb_batch_to_i420(batch)
+            packed = rgb_batch_to_i420_packed(batch)
             det: Detections = jax.device_get(self._infer_i420(
-                self.variables, self._to_device(y), self._to_device(u),
-                self._to_device(v)))
+                self.variables, self._to_device(packed)))
         else:
             batch = self._to_device(batch)
             det = jax.device_get(self._infer(self.variables, batch))
@@ -540,28 +541,18 @@ class Detector:
             dataset, self.input_size, self.batch_size, max_boxes=1,
             train=False, drop_last=False, pad_value=self.pad_value,
             num_workers=num_workers, worker_backend=worker_backend,
+            emit="i420" if self.input_format == "i420" else "rgb",
         )
-        if self.input_format == "i420":
-            from ..ops.image import rgb_batch_to_i420
-
-            def to_i420(batches):
-                # runs inside the prefetch worker thread -> conversion
-                # overlaps device compute; 'images' is replaced by the
-                # three planes (half the H2D bytes)
-                for b in batches:
-                    y, u, v = rgb_batch_to_i420(b.pop("images"))
-                    b.update(y=y, u=u, v=v)
-                    yield b
-
-            stream = prefetch_to_device(to_i420(loader.epoch(0)), mesh=None,
-                                        device_keys=("y", "u", "v"))
-        else:
-            stream = prefetch_to_device(loader.epoch(0), mesh=None)
+        # i420: the loader emits the packed [B,S*3/2,S] buffer directly —
+        # via the fused native JPEG->I420 decode (no RGB round-trip,
+        # native/jpeg_i420.cpp) when available, cv2 conversion otherwise;
+        # either way half the H2D bytes in ONE transfer.
+        stream = prefetch_to_device(loader.epoch(0), mesh=None)
         demo = self.postprocess_mode == "reference_demo"
         for batch in stream:
             if self.input_format == "i420":
                 det: Detections = jax.device_get(self._infer_i420(
-                    self.variables, batch["y"], batch["u"], batch["v"]))
+                    self.variables, batch["images"]))
             elif demo:
                 # demo chain: per-image unscale before NMS inside the jit;
                 # boxes come back already in ORIGINAL pixels

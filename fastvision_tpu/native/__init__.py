@@ -6,11 +6,20 @@ DataLoader workers, SURVEY.md §2.6 item 6). Kernels are compiled on first
 import with g++ -O3 into a cached shared object; every caller has a pure
 -Python fallback, so a missing toolchain only costs speed.
 
-Measured (this image, single core, batch of 64 640x480 -> 416): cv2's SIMD
-resize path does ~1126 img/s vs ~532 img/s for this scalar kernel, so the
-loaders default to cv2 and treat this as the no-cv2 fallback / many-core
-batch path. (cv2 is itself a native C++ backend — the win to chase next is
-fusing JPEG decode + resize, not re-implementing resize.)
+Kernels:
+  - letterbox.cpp — batched resize+pad. Measured (single core, 64x
+    640x480 -> 416): cv2's SIMD resize does ~1126 img/s vs ~532 for this
+    scalar kernel, so loaders default to cv2 and treat this as the no-cv2
+    fallback / many-core batch path.
+  - jpeg_i420.cpp — fused JPEG decode -> letterboxed packed I420 (the win
+    the letterbox measurement pointed at: fuse the DECODE, don't re-race
+    cv2's resize). Decodes the file's stored YCbCr planes via
+    jpeg_read_raw_data (libjpeg-turbo SIMD huffman+IDCT, NO chroma
+    upsample, NO RGB round-trip) and letterboxes in plane space.
+    Measured (single core, 640x480 -> 416, q90): 278 img/s vs 183 for the
+    cv2 imdecode->BGR2RGB->letterbox->RGB2YUV_I420 chain (1.5x), and the
+    output is MORE faithful to the original image (it keeps the encoder's
+    chroma instead of low-passing it twice; tests/test_native_jpeg.py).
 """
 from __future__ import annotations
 
@@ -22,29 +31,42 @@ import tempfile
 
 import numpy as np
 
-_SRC = os.path.join(os.path.dirname(__file__), "letterbox.cpp")
+_DIR = os.path.dirname(__file__)
+_SRC = os.path.join(_DIR, "letterbox.cpp")
+_SRC_JPEG = os.path.join(_DIR, "jpeg_i420.cpp")
 _LIB = None
+_HAS_JPEG = False
 _TRIED = False
 
 
+def _compile(srcs: list[str], extra: list[str]) -> str:
+    h = hashlib.sha256()
+    for s in srcs:
+        with open(s, "rb") as f:
+            h.update(f.read())
+    digest = h.hexdigest()[:16]
+    so_path = os.path.join(tempfile.gettempdir(), f"fastvision_native_{digest}.so")
+    if not os.path.exists(so_path):
+        subprocess.run(
+            ["g++", "-O3", "-march=native", "-shared", "-fPIC", "-std=c++17",
+             "-pthread", *srcs, "-o", so_path + ".tmp", *extra],
+            check=True, capture_output=True,
+        )
+        os.replace(so_path + ".tmp", so_path)
+    return so_path
+
+
 def _build_and_load():
-    global _LIB, _TRIED
+    global _LIB, _TRIED, _HAS_JPEG
     if _TRIED:
         return _LIB
     _TRIED = True
     try:
-        with open(_SRC, "rb") as f:
-            digest = hashlib.sha256(f.read()).hexdigest()[:16]
-        so_path = os.path.join(
-            tempfile.gettempdir(), f"fastvision_native_{digest}.so"
-        )
-        if not os.path.exists(so_path):
-            subprocess.run(
-                ["g++", "-O3", "-march=native", "-shared", "-fPIC", "-std=c++17",
-                 "-pthread", _SRC, "-o", so_path + ".tmp"],
-                check=True, capture_output=True,
-            )
-            os.replace(so_path + ".tmp", so_path)
+        try:  # full build: letterbox + fused jpeg->i420 decode (-ljpeg)
+            so_path = _compile([_SRC, _SRC_JPEG], ["-ljpeg"])
+            _HAS_JPEG = True
+        except Exception:  # no libjpeg dev on this host: letterbox only
+            so_path = _compile([_SRC], [])
         lib = ctypes.CDLL(so_path)
         lib.letterbox_batch.argtypes = [
             ctypes.POINTER(ctypes.c_void_p),  # srcs
@@ -59,6 +81,19 @@ def _build_and_load():
             ctypes.c_int32,  # num_threads
         ]
         lib.letterbox_batch.restype = None
+        if _HAS_JPEG:
+            lib.jpeg_decode_i420_letterbox.argtypes = [
+                ctypes.c_char_p,  # jpeg bytes
+                ctypes.c_size_t,  # len
+                ctypes.c_int32,  # out_size
+                ctypes.c_uint8,  # pad_y (studio-swing luma pad)
+                ctypes.c_int32,  # reduce_target (0 = full decode)
+                ctypes.c_void_p,  # out [S*3/2, S]
+                ctypes.c_void_p,  # scale f32[1]
+                ctypes.c_void_p,  # pads i32[2] (left, top)
+                ctypes.c_void_p,  # dims i32[4] (oh, ow, dh, dw)
+            ]
+            lib.jpeg_decode_i420_letterbox.restype = ctypes.c_int32
         _LIB = lib
     except Exception as e:  # noqa: BLE001 — fallback boundary
         print(f"[native] build/load failed ({e}); using Python fallback")
@@ -68,6 +103,63 @@ def _build_and_load():
 
 def available() -> bool:
     return _build_and_load() is not None
+
+
+def jpeg_i420_available() -> bool:
+    return _build_and_load() is not None and _HAS_JPEG
+
+
+def decode_jpeg_i420(
+    data: bytes,
+    size: int,
+    pad_value: int = 114,
+    reduce_target: int = 0,
+):
+    """Fused JPEG decode -> letterboxed packed I420 (native/jpeg_i420.cpp).
+
+    Decodes the file's stored YCbCr planes directly (no chroma upsample,
+    no RGB round-trip) and letterboxes them into the packed [S*3/2, S]
+    uint8 buffer the i420 device path consumes, converting JFIF full-range
+    to the studio-swing BT.601 convention of cv2's RGB2YUV_I420 (what
+    ops/image.py::i420_to_rgb inverts on device). Letterbox geometry is
+    identical to data/dataset.py::letterbox.
+
+    `reduce_target` > 0 enables DCT-domain 1/2-1/8 reduced decode with the
+    same threshold rule as imread_rgb_scaled (fast_decode).
+
+    Returns (packed, scale, (pad_left, pad_top), (orig_h, orig_w),
+    (decoded_h, decoded_w)) or None when the file needs the cv2 fallback
+    (non-JPEG, CMYK, exotic sampling) — raises ValueError only for data
+    that IS a plain JPEG but fails to decode.
+    """
+    lib = _build_and_load()
+    if lib is None or not _HAS_JPEG:
+        return None
+    if size % 2:
+        raise ValueError(f"i420 needs an even input_size, got {size}")
+    # studio-swing luma value of RGB gray(pad_value); chroma pad is 128
+    pad_y = int(np.clip(np.round(16 + 219 * pad_value / 255), 0, 255))
+    out = np.empty((size * 3 // 2, size), np.uint8)
+    scale = np.empty(1, np.float32)
+    pads = np.empty(2, np.int32)
+    dims = np.empty(4, np.int32)
+    rc = lib.jpeg_decode_i420_letterbox(
+        data, len(data), size, pad_y, reduce_target,
+        out.ctypes.data, scale.ctypes.data, pads.ctypes.data, dims.ctypes.data,
+    )
+    if rc == 1:  # unsupported colorspace/sampling -> caller falls back
+        return None
+    if rc != 0:
+        if data[:2] != b"\xff\xd8":
+            return None  # not a JPEG at all (png/bmp): fallback silently
+        raise ValueError("corrupt JPEG (native decode failed)")
+    return (
+        out,
+        float(scale[0]),
+        (int(pads[0]), int(pads[1])),
+        (int(dims[0]), int(dims[1])),
+        (int(dims[2]), int(dims[3])),
+    )
 
 
 def letterbox_batch(
