@@ -27,8 +27,14 @@ def _load_config(args, overrides):
     from .core.config import Config, apply_overrides, from_yaml
 
     if args.config:
-        return from_yaml(Config, args.config, overrides)
-    return apply_overrides(Config(), overrides)
+        cfg = from_yaml(Config, args.config, overrides)
+    else:
+        cfg = apply_overrides(Config(), overrides)
+    if cfg.compile_cache:
+        from .core.mesh import enable_compile_cache
+
+        enable_compile_cache(cfg.compile_cache)
+    return cfg
 
 
 def _build_detection(cfg, train: bool):
@@ -61,17 +67,22 @@ def _build_detection(cfg, train: bool):
     return model, variables, anchors
 
 
-def _maybe_step_fn(cfg, apply_fn, loss_fn, tx, has_batch_stats=True):
-    """A custom jitted step only when train.microbatch / train.remat ask
-    for one (None lets Fit build the default)."""
-    if cfg.train.microbatch <= 1 and not cfg.train.remat:
+def _maybe_step_fn(cfg, apply_fn, loss_fn, tx, has_batch_stats=True,
+                   batch_transform=None):
+    """A custom jitted step only when train.microbatch / train.remat /
+    a batch_transform (mixup/cutmix) ask for one (None lets Fit build
+    the default)."""
+    if (cfg.train.microbatch <= 1 and not cfg.train.remat
+            and batch_transform is None):
         return None
     from .train import make_train_step
 
     return make_train_step(apply_fn, loss_fn, tx,
                            has_batch_stats=has_batch_stats,
                            accum_steps=cfg.train.microbatch,
-                           remat=cfg.train.remat)
+                           remat=cfg.train.remat,
+                           batch_transform=batch_transform,
+                           transform_seed=cfg.train.seed)
 
 
 def cmd_train(args, overrides):
@@ -179,6 +190,7 @@ def cmd_train(args, overrides):
         metric_mode="max",
         ema_decay=cfg.train.ema_decay,
         step_fn=_maybe_step_fn(cfg, apply_fn, loss_fn, tx),
+        multiscale=cfg.train.multiscale or None,
     )
     fit.run()
 
@@ -299,7 +311,23 @@ def cmd_train_cls(args, overrides):
         import jax.numpy as jnp
 
         acc = jnp.mean(jnp.argmax(logits, -1) == batch["labels"])
+        if "soft" in batch:  # mixup/cutmix/smoothing targets (train/mix.py)
+            from .train import soft_cross_entropy
+
+            return soft_cross_entropy(logits, batch["soft"]), {"acc": acc}
         return cross_entropy(logits, batch["labels"]), {"acc": acc}
+
+    mix_transform = None
+    if (cfg.train.mixup_alpha > 0 or cfg.train.cutmix_alpha > 0
+            or cfg.train.label_smoothing > 0):
+        from .train import make_classification_mix
+
+        mix_transform = make_classification_mix(
+            cfg.model.num_classes,
+            mixup_alpha=cfg.train.mixup_alpha,
+            cutmix_alpha=cfg.train.cutmix_alpha,
+            smoothing=cfg.train.label_smoothing,
+        )
 
     tx = build_optimizer(cfg.train.optimizer, variables["params"],
                          weight_decay=cfg.train.weight_decay,
@@ -325,7 +353,8 @@ def cmd_train_cls(args, overrides):
         logger=MetricLogger(cfg.train.ckpt_dir),
         resume=args.resume,
         metric_key="accuracy", metric_mode="max",
-        step_fn=_maybe_step_fn(cfg, apply_fn, loss_fn, tx),
+        step_fn=_maybe_step_fn(cfg, apply_fn, loss_fn, tx,
+                               batch_transform=mix_transform),
     )
     fit.run()
 
@@ -528,14 +557,34 @@ def cmd_export(args, overrides):
     import numpy as np
 
     cfg = _load_config(args, overrides)
+    tflite = getattr(args, "tflite", False) or args.out.endswith(".tflite")
+    stablehlo = (getattr(args, "stablehlo", False)
+                 or args.out.endswith(".stablehlo"))
+    if tflite:
+        # TFLite builtin kernels have no bf16 type — edge artifacts compute
+        # in fp32 (quantization, if any, is the converter's job below)
+        cfg.train.bf16 = False
     det = _detector_from_cfg(cfg, args.ckpt)
+    representative = None
     if getattr(args, "int8", False):
-        # quantized variables ('quant' collection) bake into the exported
-        # graph: ConvBN routes through its int8 path automatically
         from .data import DetectionDataset
 
-        _quantize_detector(det, DetectionDataset(cfg.data.data_root, cfg.data.val_dir))
-    from .infer.export import export_savedmodel
+        ds = DetectionDataset(cfg.data.data_root, cfg.data.val_dir)
+        if tflite:
+            # TFLite builtins need QI8 quantized types, not our raw-s8
+            # w8a8 bake — use converter-side PTQ on calibration images
+            from .infer.preprocess import preprocess_image
+
+            representative = [
+                np.repeat(preprocess_image(ds[i][0], cfg.data.input_size)[0][None],
+                          args.batch, axis=0)
+                for i in range(min(8, len(ds)))
+            ]
+        else:
+            # quantized variables ('quant' collection) bake into the
+            # exported graph: ConvBN routes through its int8 path
+            _quantize_detector(det, ds)
+    from .infer.export import export_savedmodel, export_tflite
 
     example = np.zeros((args.batch, cfg.data.input_size, cfg.data.input_size, 3),
                        np.uint8)
@@ -545,9 +594,28 @@ def cmd_export(args, overrides):
         return {"boxes": d.boxes, "scores": d.scores,
                 "classes": d.classes, "valid": d.valid}
 
-    path = export_savedmodel(infer_fn, det.variables, [example], args.out,
-                             input_names=["images"])
-    print(f"SavedModel (batch {args.batch}, {cfg.data.input_size}px, "
+    if tflite:
+        if representative is not None:
+            # int8 TFLite exports the PRE-NMS program (normalize+forward+
+            # decode): TF's calibrator segfaults walking the flex sort in
+            # fixed-K NMS, and edge runtimes do NMS app-side anyway
+            fn, note = det._predecode, " pre-NMS [B,N,5+C] out (int8 PTQ)"
+        else:
+            fn, note = infer_fn, ""
+        path = export_tflite(fn, det.variables, [example], args.out,
+                             input_names=["images"],
+                             representative_inputs=representative)
+        kind = f"TFLite flatbuffer{note}"
+    elif stablehlo:
+        from .infer.export import export_stablehlo
+
+        path = export_stablehlo(infer_fn, det.variables, [example], args.out)
+        kind = "StableHLO artifact"
+    else:
+        path = export_savedmodel(infer_fn, det.variables, [example], args.out,
+                                 input_names=["images"])
+        kind = "SavedModel"
+    print(f"{kind} (batch {args.batch}, {cfg.data.input_size}px, "
           f"uint8 NHWC in, boxes/scores/classes/valid out) -> {path}")
 
 
@@ -684,6 +752,15 @@ def make_parser() -> argparse.ArgumentParser:
     p.add_argument("--int8", action="store_true",
                    help="bake int8 w8a8 PTQ into the exported graph "
                         "(calibrates on val images)")
+    p.add_argument("--tflite", action="store_true",
+                   help="write a single-file .tflite flatbuffer instead of "
+                        "a SavedModel (also inferred from an --out ending "
+                        "in .tflite)")
+    p.add_argument("--stablehlo", action="store_true",
+                   help="write a jax.export StableHLO artifact (weights "
+                        "baked in; load with infer.load_stablehlo — no "
+                        "model code needed at the destination; also "
+                        "inferred from an --out ending in .stablehlo)")
     p = sub.add_parser("generate",
                        help="scaffold a new project dir (cfg.yaml + "
                             "train.py + README)")

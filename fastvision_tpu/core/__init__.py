@@ -6,6 +6,7 @@ from .mesh import (
     MeshConfig,
     batch_sharding,
     create_mesh,
+    enable_compile_cache,
     local_batch_size,
     replicate,
     replicated,

@@ -119,7 +119,15 @@ class TrainConfig:
     accum_steps: int = 1  # optax MultiSteps: update every Nth batch
     microbatch: int = 1  # in-step accumulation: scan N microbatches/batch
     remat: bool = False  # jax.checkpoint the forward (activation memory)
+    # per-epoch multi-scale train sizes (multiples of 32, e.g.
+    # [320, 352, 416, 480, 608]); empty = fixed data.input_size. One XLA
+    # compile per size (cached); val/no-aug stay at data.input_size
+    multiscale: list = field(default_factory=list)
     ema_decay: float = 0.0  # >0 enables EMA weights for eval/checkpoint
+    # classification regularizers (train/mix.py, in-jit device-side):
+    label_smoothing: float = 0.0
+    mixup_alpha: float = 0.0  # e.g. 0.2; both alphas > 0 = switch per step
+    cutmix_alpha: float = 0.0  # e.g. 1.0
     neighbor_cells: bool = False  # v5-style expanded YOLO target assignment
     no_aug_epochs: int = 0  # huaweiShip-style final clean-data epochs
     seed: int = 0
@@ -159,3 +167,8 @@ class Config:
     mesh_data: int = 0  # 0 = all devices on the data axis
     mesh_model: int = 1
     mesh_time: int = 1
+    # persistent XLA compilation cache directory ('' = off). Kills the
+    # 20-40s first-jit cost on restarts: serving cold-start, resumed
+    # training, and every multiscale size after the first run all load
+    # their executables from disk instead of recompiling
+    compile_cache: str = ""

@@ -15,6 +15,7 @@ same code scales over DCN.
 from __future__ import annotations
 
 import dataclasses
+import os
 from contextlib import contextmanager
 from typing import Any, Sequence
 
@@ -101,3 +102,18 @@ def maybe_mesh(mesh: Mesh | None):
     else:
         with mesh:
             yield mesh
+
+
+def enable_compile_cache(cache_dir: str) -> None:
+    """Persistent XLA compilation cache: executables survive restarts.
+
+    First jit of the big programs costs 20-40s on TPU; with this on,
+    serving cold-start / training resume / later multiscale epochs load
+    the compiled binary from `cache_dir` instead. Safe to share across
+    processes; keyed by HLO + compile options + backend version.
+    """
+    os.makedirs(cache_dir, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    # cache everything, not just >1s compiles, and regardless of size
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)

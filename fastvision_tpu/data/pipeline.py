@@ -158,6 +158,7 @@ class DetectionLoader:
         self.native_jpeg = native_jpeg
         self._pool = None
         self._decode_pool = None
+        self._decode_pool_shape = None
         if num_workers and num_workers > 1 and worker_backend == "thread":
             from concurrent.futures import ThreadPoolExecutor
 
@@ -240,14 +241,22 @@ class DetectionLoader:
         return (s * 3 // 2, s) if self.native_jpeg else (s, s, 3)
 
     def _get_decode_pool(self):
+        # Rebuild on input_size change (multi-scale training): the workers
+        # fork with a snapshot of this loader — both their letterbox target
+        # and the shared-memory slot shape are frozen at fork time.
+        shape = self._batch_shape()
+        if self._decode_pool is not None and self._decode_pool_shape != shape:
+            self._decode_pool.close()
+            self._decode_pool = None
         if self._decode_pool is None:
             from .decode_pool import DecodePool
 
             self._decode_pool = DecodePool(
-                self._sample_work, self.num_workers, self._batch_shape(),
+                self._sample_work, self.num_workers, shape,
                 n_slots=max(4 * self.num_workers, 2 * self.batch_size),
                 start_method=self.worker_start_method,
             )
+            self._decode_pool_shape = shape
         return self._decode_pool
 
     def _epoch_process(self, epoch_idx: int, order: np.ndarray) -> Iterator[dict]:

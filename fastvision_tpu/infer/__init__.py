@@ -1,6 +1,11 @@
 """Inference: decode, pre/postprocess, predictor, serving."""
 from .decode import decode_level, decode_predictions
-from .export import export_savedmodel
+from .export import (
+    export_savedmodel,
+    export_stablehlo,
+    export_tflite,
+    load_stablehlo,
+)
 from .postprocess import detections_to_original, scale_coords
 from .predictor import Detector, VideoClassifier
 from .preprocess import preprocess_batch, preprocess_image

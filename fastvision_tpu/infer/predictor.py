@@ -118,10 +118,18 @@ class Detector:
                     max_det=max_det, class_offset=self._class_offset,
                 )
 
-        def _infer(v, images_u8):
+        def _predecode(v, images_u8):
             x = normalize_images(images_u8, dtype, imagenet=imagenet)
             heads = model.apply(v, x, train=False)
-            pred = decode_predictions(heads, self.anchors, strides, decode_style)
+            return decode_predictions(heads, self.anchors, strides, decode_style)
+
+        # pre-NMS program (normalize+forward+decode -> [B, N, 5+C]): the
+        # export surface for edge targets where NMS runs app-side (TFLite
+        # int8 — its calibrator can't walk the flex sort inside fixed-K NMS)
+        self._predecode = _predecode
+
+        def _infer(v, images_u8):
+            pred = _predecode(v, images_u8)
             return _nms(pred.astype(jnp.float32))
 
         self._infer = jax.jit(_infer)

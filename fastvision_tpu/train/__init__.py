@@ -9,7 +9,9 @@ from .losses import (
     focal_loss,
     iou_loss,
     smooth_l1,
+    soft_cross_entropy,
 )
+from .mix import cutmix, make_classification_mix, mixup, smooth_labels
 from .optim import build_optimizer, decay_mask, get_lr, set_lr
 from .schedulers import (
     SCHEDULES,

@@ -19,7 +19,7 @@ the optimizer state too (SURVEY.md §5).
 from __future__ import annotations
 
 import time
-from typing import Any, Callable
+from typing import Any, Callable, Sequence
 
 import jax
 import jax.numpy as jnp
@@ -61,6 +61,7 @@ class Fit:
         metric_key: str = "val_loss",
         step_fn: Callable | None = None,  # prebuilt (state, batch, lr) -> (state, metrics)
         ema_decay: float = 0.0,  # >0 enables EMA weights for eval/checkpoint
+        multiscale: Sequence[int] | None = None,  # per-epoch train input sizes
     ):
         self.step_fn = step_fn or make_train_step(apply_fn, loss_fn, tx)
         self.state = TrainState.create(variables, tx)
@@ -82,6 +83,22 @@ class Fit:
         self.metric_mode = metric_mode
         self.metric_key = metric_key
         self.global_step = 0
+        # Multi-scale training, redesigned for XLA: sizes change per EPOCH
+        # (not per 10 batches like ultralytics) so each size compiles once
+        # and the prefetch pipeline never switches shapes mid-stream; a
+        # seeded permutation cycles through every size each len(multiscale)
+        # epochs. Labels are normalized xywh, so only the loader's
+        # letterbox target changes; anchors stay in absolute pixels (the
+        # object-rescale IS the augmentation). no_aug epochs and val run
+        # at the loader's base size.
+        self.multiscale = tuple(int(s) for s in multiscale) if multiscale else None
+        self._base_input_size = getattr(train_loader, "input_size", None)
+        if self.multiscale:
+            bad = [s for s in self.multiscale if s % 32]
+            if bad:
+                raise ValueError(f"multiscale sizes must be multiples of 32: {bad}")
+            if self._base_input_size is None:
+                raise ValueError("multiscale needs a train_loader with .input_size")
         self.ema_decay = ema_decay
         self.ema_params = None
         self._ema_update = None
@@ -187,6 +204,17 @@ class Fit:
             metrics = dict(self.evaluator(self.eval_state(), self.val_loader))
         return metrics
 
+    def epoch_input_size(self, epoch: int) -> int | None:
+        """Train input size for `epoch` under multi-scale (None = base).
+
+        Deterministic: a permutation seeded by the cycle index covers every
+        size once per cycle, so resume lands on the same size."""
+        if not self.multiscale:
+            return None
+        n = len(self.multiscale)
+        perm = np.random.default_rng(epoch // n).permutation(n)
+        return self.multiscale[perm[epoch % n]]
+
     # ------------------------------------------------------------------
     def run(self) -> TrainState:
         main_epochs = self.epochs - self.no_aug_epochs
@@ -196,6 +224,13 @@ class Fit:
                 (self.no_aug_loader or self.train_loader) if no_aug_phase else self.train_loader
             )
             lr_override = self.no_aug_lr if no_aug_phase else None
+            if self.multiscale:
+                if no_aug_phase or loader is not self.train_loader:
+                    self.train_loader.input_size = self._base_input_size
+                else:
+                    size = self.epoch_input_size(epoch)
+                    loader.input_size = size
+                    self.logger.log(self.global_step, epoch=epoch, img_size=size)
             train_loss = self._train_epoch(epoch, loader, lr_override)
 
             val_metrics = {}
@@ -233,6 +268,8 @@ class Fit:
                     metric=float(metric),
                     higher_is_better=(self.metric_mode == "max"),
                 )
+        if self.multiscale:
+            self.train_loader.input_size = self._base_input_size
         if self.ckpt is not None:
             self.ckpt.wait()
         return self.state

@@ -56,6 +56,14 @@ def cross_entropy(logits, labels, weights=None, reduction: str = "mean"):
     return _reduce(loss, weights, reduction)
 
 
+def soft_cross_entropy(logits, target_probs, weights=None, reduction: str = "mean"):
+    """CE against a target DISTRIBUTION (label smoothing / mixup / cutmix
+    targets from train.mix; plain one-hot reproduces cross_entropy)."""
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    loss = -jnp.sum(target_probs.astype(logp.dtype) * logp, axis=-1)
+    return _reduce(loss, weights, reduction)
+
+
 def binary_cross_entropy(
     preds, targets, from_logits: bool = True, weights=None, reduction: str = "mean"
 ):

@@ -68,6 +68,8 @@ def make_train_step(
     donate: bool = True,
     accum_steps: int = 1,
     remat: bool = False,
+    batch_transform: Callable | None = None,
+    transform_seed: int = 0,
 ) -> Callable:
     """Build `train_step(state, batch, lr) -> (state, metrics)`.
 
@@ -87,6 +89,10 @@ def make_train_step(
     - remat: jax.checkpoint the forward — activations are recomputed
       during backward instead of stored, trading ~1/3 more FLOPs for a
       large activation-memory cut (the TPU lever for big batch/resolution).
+    - batch_transform(batch, key) -> batch: in-jit stochastic batch edit
+      (mixup/cutmix, train/mix.py) run before the forward; its key is
+      folded from (transform_seed, state.step), so the stream is
+      reproducible and resume-consistent with no host RNG plumbing.
     """
 
     def compute_loss(params, batch_stats, batch, rng):
@@ -154,6 +160,9 @@ def make_train_step(
         return losses.mean(), metrics, new_stats, grads
 
     def train_step(state: TrainState, batch: dict, lr, rng=None):
+        if batch_transform is not None:
+            key = jax.random.fold_in(jax.random.key(transform_seed), state.step)
+            batch = batch_transform(batch, key)
         loss, metrics, new_stats, grads = (
             grads_single(state, batch, rng) if accum_steps == 1
             else grads_accum(state, batch, rng)

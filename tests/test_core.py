@@ -128,3 +128,19 @@ def test_torch_import_layout():
     assert hwio[1, 2, 1, 0] == w[0, 1, 1, 2]
     lw = linear_oi_to_io(np.zeros((10, 4)))
     assert lw.shape == (4, 10)
+
+
+def test_enable_compile_cache_writes_entries(tmp_path):
+    """Persistent XLA compile cache (cfg.compile_cache): jit writes
+    executables to the directory so restarts skip recompilation."""
+    import os
+
+    from fastvision_tpu.core.mesh import enable_compile_cache
+
+    d = str(tmp_path / "xla_cache")
+    enable_compile_cache(d)
+    try:
+        jax.jit(lambda x: x * 3 + 1)(jnp.ones((8,))).block_until_ready()
+        assert len(os.listdir(d)) > 0
+    finally:
+        jax.config.update("jax_compilation_cache_dir", None)

@@ -158,3 +158,31 @@ def test_loader_bad_backend_suffix_rejected(det_root):
     for bad in ("process:greenlet", "thread:fork", "procss"):
         with pytest.raises(ValueError):
             DetectionLoader(ds, 64, 4, worker_backend=bad)
+
+
+def test_loader_process_backend_input_size_change(det_root):
+    """Multi-scale training mutates loader.input_size between epochs; the
+    process backend must rebuild its forked pool (workers snapshot the
+    letterbox target and shm slot shape at fork) and match the serial
+    path at the new size."""
+    from fastvision_tpu.data import DetectionDataset, DetectionLoader
+
+    ds = DetectionDataset(det_root, "val")
+    kw = dict(batch_size=4, max_boxes=4, train=True, seed=3)
+    loader = DetectionLoader(ds, input_size=64, num_workers=2,
+                             worker_backend="process", **kw)
+    a = _collect(loader)
+    assert a[0][0].shape[1:] == (64, 64, 3)
+    pool_small = loader._decode_pool
+
+    loader.input_size = 96
+    b = _collect(loader, epoch=1)
+    assert b[0][0].shape[1:] == (96, 96, 3)
+    assert loader._decode_pool is not pool_small
+
+    serial = _collect(DetectionLoader(ds, input_size=96, **kw), epoch=1)
+    for (bi, bl, bn), (si, sl, sn) in zip(b, serial):
+        np.testing.assert_array_equal(bi, si)
+        np.testing.assert_array_equal(bl, sl)
+        assert bn == sn
+    loader._decode_pool.close()

@@ -371,3 +371,38 @@ def test_fit_with_microbatch_accum_and_remat(det_data, tmp_path):
     assert int(fit.global_step) == 2 * 2
     assert fit.ckpt.latest_step() == 1
     assert all(np.isfinite(x).all() for x in jax.tree.leaves(state.params))
+
+
+def test_multiscale_training(det_data, tmp_path):
+    """Per-epoch multi-scale: each epoch trains at a size from the set,
+    every size is visited once per cycle, val + no-aug stay at base size,
+    and the schedule is deterministic (resume-safe)."""
+    fit = make_yolo_fit(det_data, tmp_path, epochs=3,
+                        multiscale=(64, 96), no_aug_epochs=1)
+    seen = []
+    inner = fit.step_fn
+
+    def recording_step(state, batch, lr):
+        seen.append(batch["images"].shape[1])
+        return inner(state, batch, lr)
+
+    fit.step_fn = recording_step
+    fit.run()
+
+    # epochs 0-1 are the multiscale cycle {64, 96}; epoch 2 is no-aug at base
+    per_epoch = [seen[i * 2] for i in range(3)]  # 2 batches/epoch
+    assert sorted(per_epoch[:2]) == [64, 96]
+    assert per_epoch[2] == 96  # base input_size
+    # every step within an epoch has that epoch's size
+    assert seen[0] == seen[1] and seen[2] == seen[3]
+    # deterministic schedule for resume
+    assert [fit.epoch_input_size(e) for e in range(4)] == [
+        fit.epoch_input_size(e) for e in range(4)
+    ]
+    # loader restored to base size after the run
+    assert fit.train_loader.input_size == 96
+
+
+def test_multiscale_rejects_bad_sizes(det_data, tmp_path):
+    with pytest.raises(ValueError, match="multiples of 32"):
+        make_yolo_fit(det_data, tmp_path, epochs=1, multiscale=(50, 96))
