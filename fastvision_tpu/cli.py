@@ -359,6 +359,83 @@ def cmd_train_cls(args, overrides):
     fit.run()
 
 
+def cmd_train_video(args, overrides):
+    """Video recognition training (ref videoRecognition/: C3D / 3D-ResNet /
+    SlowFast over folder-per-class clips, frame samplers
+    datasets/common/video_sampler.py) — same Fit/checkpoint/telemetry path
+    as classification, batches are NDHWC clips."""
+    import jax
+    import jax.numpy as jnp
+
+    cfg = _load_config(args, overrides)
+    from .core.mesh import create_mesh
+    from .core.rng import set_random_seeds
+    from .core.telemetry import MetricLogger
+    from .data import VideoClipLoader, VideoFolderDataset, normalize_images
+    from .models import video as video_zoo
+    from .train import (
+        Fit,
+        build_optimizer,
+        classification_evaluator,
+        cross_entropy,
+        make_eval_step,
+        warmup_cosine_lr,
+    )
+
+    set_random_seeds(cfg.train.seed)
+    mesh = create_mesh()
+    factory = getattr(video_zoo, cfg.model.backbone, None)
+    if factory is None:
+        names = [n for n in dir(video_zoo) if not n.startswith("_") and n.islower()]
+        raise SystemExit(
+            f"unknown video model {cfg.model.backbone!r}; pick one of {names}")
+    model = factory(
+        num_classes=cfg.model.num_classes,
+        dtype=jnp.bfloat16 if cfg.train.bf16 else jnp.float32,
+    )
+    size, T = cfg.data.input_size, cfg.data.num_frames
+    variables = model.init(jax.random.key(cfg.train.seed),
+                           jnp.zeros((2, T, size, size, 3)), train=True)
+
+    def apply_fn(v, images, **kw):
+        return model.apply(v, normalize_images(images, model.dtype, imagenet=True), **kw)
+
+    def loss_fn(logits, batch):
+        acc = jnp.mean(jnp.argmax(logits, -1) == batch["labels"])
+        return cross_entropy(logits, batch["labels"]), {"acc": acc}
+
+    tx = build_optimizer(cfg.train.optimizer, variables["params"],
+                         weight_decay=cfg.train.weight_decay,
+                         momentum=cfg.train.momentum)
+    cats = cfg.data.categories or None
+    train_loader = VideoClipLoader(
+        VideoFolderDataset(cfg.data.data_root, cfg.data.train_dir, cats),
+        num_frames=T, size=size, batch_size=cfg.data.batch_size,
+        strategy=cfg.data.frame_strategy, seed=cfg.train.seed,
+        num_workers=cfg.data.num_workers)
+    val_loader = VideoClipLoader(
+        VideoFolderDataset(cfg.data.data_root, cfg.data.val_dir, cats),
+        num_frames=T, size=size, batch_size=cfg.data.batch_size,
+        strategy=cfg.data.frame_strategy, train=False,
+        num_workers=cfg.data.num_workers)
+    steps = cfg.train.epochs * max(len(train_loader), 1)
+    fit = Fit(
+        apply_fn, loss_fn, tx, variables, train_loader, val_loader,
+        epochs=cfg.train.epochs, mesh=mesh,
+        schedule=warmup_cosine_lr(cfg.train.lr, cfg.train.final_lr, steps,
+                                  warmup_steps=cfg.train.warmup_epochs
+                                  * max(len(train_loader), 1)),
+        evaluator=classification_evaluator(make_eval_step(apply_fn), mesh=mesh),
+        ckpt_dir=cfg.train.ckpt_dir,
+        logger=MetricLogger(cfg.train.ckpt_dir),
+        resume=args.resume,
+        metric_key="accuracy", metric_mode="max",
+        eval_every=cfg.train.eval_every,
+        save_every_epoch=cfg.train.save_every_epoch,
+    )
+    fit.run()
+
+
 def _detector_from_cfg(cfg, ckpt: str | None, fast_decode: bool = False):
     import jax
     import jax.numpy as jnp
@@ -560,6 +637,11 @@ def cmd_export(args, overrides):
     tflite = getattr(args, "tflite", False) or args.out.endswith(".tflite")
     stablehlo = (getattr(args, "stablehlo", False)
                  or args.out.endswith(".stablehlo"))
+    if tflite and stablehlo:
+        raise SystemExit(
+            "export: --tflite and --stablehlo (or conflicting --out "
+            "suffixes) are mutually exclusive — pick one format"
+        )
     if tflite:
         # TFLite builtin kernels have no bf16 type — edge artifacts compute
         # in fp32 (quantization, if any, is the converter's job below)
@@ -615,8 +697,11 @@ def cmd_export(args, overrides):
         path = export_savedmodel(infer_fn, det.variables, [example], args.out,
                                  input_names=["images"])
         kind = "SavedModel"
+    outputs = ("pre-NMS [B,N,5+C] out (NMS runs app-side)"
+               if tflite and representative is not None
+               else "boxes/scores/classes/valid out")
     print(f"{kind} (batch {args.batch}, {cfg.data.input_size}px, "
-          f"uint8 NHWC in, boxes/scores/classes/valid out) -> {path}")
+          f"uint8 NHWC in, {outputs}) -> {path}")
 
 
 _GENERATED_TRAIN = '''\
@@ -695,6 +780,10 @@ def make_parser() -> argparse.ArgumentParser:
     p = common(sub.add_parser("train"))
     p.add_argument("--resume", action="store_true")
     p = common(sub.add_parser("train-cls"))
+    p.add_argument("--resume", action="store_true")
+    p = common(sub.add_parser("train-video",
+                              help="video recognition (C3D/3D-ResNet/"
+                                   "SlowFast) over folder-per-class clips"))
     p.add_argument("--resume", action="store_true")
     p = common(sub.add_parser("eval"))
     p.add_argument("--ckpt", default="")
@@ -778,6 +867,7 @@ def main(argv=None):
     {
         "train": cmd_train,
         "train-cls": cmd_train_cls,
+        "train-video": cmd_train_video,
         "eval": cmd_eval,
         "infer": cmd_infer,
         "serve": cmd_serve,

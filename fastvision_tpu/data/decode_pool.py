@@ -21,7 +21,11 @@ this is the framework-native equivalent:
 
 Workers must not touch jax (they only run numpy/cv2) — fork()ing a
 process with an initialized TPU client is safe as long as the child never
-calls into it.
+calls into it. With the 'forkserver'/'spawn' start methods (the default
+once jax is imported), standard multiprocessing rules apply: a SCRIPT
+driving a process-backed loader must guard its entry point with
+`if __name__ == "__main__":`, because children re-import __main__ to
+unpickle the work function.
 """
 from __future__ import annotations
 

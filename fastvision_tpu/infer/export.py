@@ -110,11 +110,21 @@ def export_tflite(
         try:
             blob = _convert([tf.lite.OpsSet.TFLITE_BUILTINS,
                              tf.lite.OpsSet.SELECT_TF_OPS])
-        except Exception:
+        except Exception as e:
             # Some builtin kernels reject dtypes the graph needs (e.g.
             # tfl.pad on the int8 activations of a w8a8-baked graph fails
             # MLIR legalization). Flex-only keeps those ops as TF kernels —
-            # bigger binary, same numerics.
+            # bigger binary, same numerics. Surface the builtin failure so
+            # real converter bugs aren't silently masked by the fallback.
+            import warnings
+
+            warnings.warn(
+                "TFLite builtin+select conversion failed; retrying with "
+                f"SELECT_TF_OPS only (bigger, TF-kernel-dependent artifact). "
+                f"Original error: {e!r}",
+                RuntimeWarning,
+                stacklevel=2,
+            )
             blob = _convert([tf.lite.OpsSet.SELECT_TF_OPS])
     else:
         blob = _convert([tf.lite.OpsSet.TFLITE_BUILTINS])

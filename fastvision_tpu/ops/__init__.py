@@ -39,7 +39,14 @@ from .image import (
 from .box_coder import decode_boxes, encode_boxes
 from .roi_align import roi_align, roi_align_mxu, roi_align_single
 from .accuracy import Accuracy, accuracy
-from .map import CalculateMAP, MAPResult, MeanAveragePrecision, compute_ap, match_predictions
+from .map import (
+    CalculateMAP,
+    MAPResult,
+    MeanAveragePrecision,
+    compute_ap,
+    match_predictions,
+    match_predictions_device,
+)
 from .one_hot import one_hot
 
 __all__ = [

@@ -69,6 +69,68 @@ def match_predictions(
     return correct
 
 
+def match_predictions_device(
+    pred_boxes,
+    pred_classes,
+    pred_valid,
+    true_boxes,
+    true_classes,
+    true_valid,
+    iou_thresholds,
+):
+    """Batched on-device correct-matrix: [B, P, T] bool (jit-traceable).
+
+    Device re-design of :func:`match_predictions` (ref metrics/map.py:16-84
+    per-image host loop): the greedy "sort pairs by IoU desc, unique pred,
+    unique target" dedup collapses to two argmaxes, because
+
+      * unique-pred keeps each prediction's highest-IoU GT — its row argmax
+        (ties -> smallest GT index, exactly np.unique-on-sorted-pairs order);
+      * unique-target then keeps, per GT, the surviving prediction with the
+        highest IoU (ties -> smallest pred index, ditto);
+      * both winners are THRESHOLD-INDEPENDENT: if a GT's best-pointing
+        prediction fails `iou >= thr`, every other prediction pointing at it
+        fails too — so correct[p, t] = eligible(p, t) & is_winner(p), and the
+        whole [B, P, T] matrix falls out of one masked IoU matrix with no
+        loop over thresholds or images.
+
+    Inputs are fixed-size padded device arrays straight from batched NMS
+    (ops.nms.Detections) + the loader's padded labels; invalid rows are
+    masked. Boxes must share one coordinate space per image — IoU is
+    invariant under the letterbox similarity transform, so input-space
+    matching equals original-pixel matching (up to fp rounding at exact
+    threshold boundaries). Zero-IoU pairs never match (thresholds are
+    assumed > 0, as in the 0.5:0.95 COCO grid).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    def one(pb, pc, pv, tb, tc, tv):
+        tl = jnp.maximum(tb[:, None, :2], pb[None, :, :2])
+        br = jnp.minimum(tb[:, None, 2:], pb[None, :, 2:])
+        inter = jnp.prod(jnp.clip(br - tl, 0, None), axis=2)
+        area_t = jnp.prod(tb[:, 2:] - tb[:, :2], axis=1)
+        area_p = jnp.prod(pb[:, 2:] - pb[:, :2], axis=1)
+        iou = inter / (area_t[:, None] + area_p[None, :] - inter + 1e-7)
+        ok = (tc[:, None] == pc[None, :]) & tv[:, None] & pv[None, :]
+        iou = jnp.where(ok, iou, 0.0)  # [G, P]
+        best_iou = iou.max(axis=0)  # [P] each pred's best same-class GT
+        best_g = iou.argmax(axis=0)  # first max -> smallest GT index
+        # per-GT winner among preds whose best GT is g (max IoU, then
+        # smallest pred index — argmax returns the first maximum)
+        points_at = jax.nn.one_hot(best_g, tb.shape[0], dtype=bool).T  # [G, P]
+        score = jnp.where(points_at, best_iou[None, :], -1.0)
+        winner = score.argmax(axis=1)  # [G]
+        is_winner = winner[best_g] == jnp.arange(pb.shape[0])
+        eligible = best_iou[:, None] >= iou_thresholds[None, :]  # [P, T]
+        return eligible & (is_winner & (best_iou > 0) & pv)[:, None]
+
+    return jax.vmap(one)(
+        pred_boxes, pred_classes, pred_valid,
+        true_boxes, true_classes, true_valid,
+    )
+
+
 def compute_ap(recall: np.ndarray, precision: np.ndarray, method: str = "coco") -> float:
     """AP from a PR curve. Methods: 'coco' (101-pt), 'voc2009', 'voc2007'.
 
@@ -159,6 +221,34 @@ class MeanAveragePrecision:
             pred_boxes, pred_classes, true_boxes, true_classes, self.iou_thresholds
         )
         self._stats.append((correct, pred_scores, pred_classes))
+
+    def update_matched(
+        self,
+        correct,
+        pred_scores,
+        pred_classes,
+        gt_classes,
+        pred_valid=None,
+        gt_valid=None,
+    ):
+        """Accumulate one image whose correct-matrix was already computed —
+        the device-matching path (:func:`match_predictions_device` runs the
+        per-image matching inside the jitted eval program; the host only
+        strips padding and stores). `correct` is [P, T] bool aligned with
+        this evaluator's iou_thresholds."""
+        correct = np.asarray(correct, bool).reshape(-1, len(self.iou_thresholds))
+        pred_scores = np.asarray(pred_scores, np.float32).reshape(-1)
+        pred_classes = np.asarray(pred_classes).reshape(-1)
+        gt_classes = np.asarray(gt_classes).reshape(-1)
+        if pred_valid is not None:
+            m = np.asarray(pred_valid, bool).reshape(-1)
+            correct, pred_scores, pred_classes = correct[m], pred_scores[m], pred_classes[m]
+        if gt_valid is not None:
+            gt_classes = gt_classes[np.asarray(gt_valid, bool).reshape(-1)]
+        if gt_classes.size:
+            self._gt_classes.append(gt_classes.copy())
+        if pred_scores.size:
+            self._stats.append((correct, pred_scores, pred_classes))
 
     def compute(self) -> MAPResult:
         nt = len(self.iou_thresholds)

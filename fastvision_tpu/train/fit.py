@@ -207,12 +207,15 @@ class Fit:
     def epoch_input_size(self, epoch: int) -> int | None:
         """Train input size for `epoch` under multi-scale (None = base).
 
-        Deterministic: a permutation seeded by the cycle index covers every
-        size once per cycle, so resume lands on the same size."""
+        Deterministic AND resume-safe: a permutation seeded by (the train
+        loader's seed, the cycle index) covers every size once per cycle, so
+        resume lands on the same size while different seeds see different
+        size schedules."""
         if not self.multiscale:
             return None
         n = len(self.multiscale)
-        perm = np.random.default_rng(epoch // n).permutation(n)
+        seed = getattr(self.train_loader, "seed", 0)
+        perm = np.random.default_rng((seed, epoch // n)).permutation(n)
         return self.multiscale[perm[epoch % n]]
 
     # ------------------------------------------------------------------

@@ -138,9 +138,16 @@ def test_enable_compile_cache_writes_entries(tmp_path):
     from fastvision_tpu.core.mesh import enable_compile_cache
 
     d = str(tmp_path / "xla_cache")
+    # capture ALL config enable_compile_cache touches so nothing leaks
+    # process-wide into later tests
+    keys = ("jax_compilation_cache_dir",
+            "jax_persistent_cache_min_compile_time_secs",
+            "jax_persistent_cache_min_entry_size_bytes")
+    before = {k: getattr(jax.config, k) for k in keys}
     enable_compile_cache(d)
     try:
         jax.jit(lambda x: x * 3 + 1)(jnp.ones((8,))).block_until_ready()
         assert len(os.listdir(d)) > 0
     finally:
-        jax.config.update("jax_compilation_cache_dir", None)
+        for k, v in before.items():
+            jax.config.update(k, v)

@@ -381,6 +381,40 @@ def test_detector_tta_flip_invariance(detector, rng):
         np.testing.assert_allclose(a, b, atol=1e-2)
 
 
+def test_evaluate_tta_pipelined_matches_predict_tta(detector, tmp_path, rng):
+    """evaluate(tta=True) now streams both orientations through ONE jitted
+    call over the prefetch pipeline (VERDICT r3 weak-5). On symmetric-pad
+    inputs (square images here) flip(letterbox(img)) == letterbox(flip(img)),
+    so its merged results must equal the predict_batch(tta=True) chain
+    image-for-image — pinned via identical mAP accumulation."""
+    import cv2
+
+    from fastvision_tpu.data import DetectionDataset
+    from fastvision_tpu.ops.map import MeanAveragePrecision
+
+    root = tmp_path / "tta_ds"
+    os.makedirs(root / "val" / "images")
+    os.makedirs(root / "val" / "labels")
+    for i in range(5):  # odd count exercises the ragged last batch
+        cv2.imwrite(str(root / "val" / "images" / f"i{i}.jpg"),
+                    rng.integers(0, 255, (96, 96, 3)).astype(np.uint8))
+        (root / "val" / "labels" / f"i{i}.txt").write_text(
+            "0 10 10 60 50\n1 30 20 90 80\n")
+    ds = DetectionDataset(str(root), "val")
+
+    got = detector.evaluate(ds, tta=True)
+    ref = MeanAveragePrecision()
+    for i in range(len(ds)):
+        img, lab, _ = ds[i]
+        res = detector.predict_batch([img], tta=True)[0]
+        ref.update(res["boxes"], res["scores"], res["classes"],
+                   lab[:, 1:5], lab[:, 0])
+    r = ref.compute()
+    assert got["images"] == 5
+    assert got["map50"] == pytest.approx(r.map50, abs=1e-7)
+    assert got["map"] == pytest.approx(r.map, abs=1e-7)
+
+
 def test_predict_video_batched(detector, tmp_path, rng):
     """VERDICT r2 weak-4: predict_video must run frames through the
     compiled program batch_size at a time (not pad-1-per-frame), with
