@@ -115,59 +115,25 @@ def run_cls(out, epochs=8, size=64, batch_size=16, lr=5e-3):
 
 def run_video(out, epochs=14, size=64, frames=8, batch_size=8, lr=1e-2,
               model_name="resnet18_3d"):
-    import jax
-    import jax.numpy as jnp
-
-    from fastvision_tpu.core import create_mesh, set_random_seeds
-    from fastvision_tpu.core.telemetry import MetricLogger
-    from fastvision_tpu.data import normalize_images
-    from fastvision_tpu.models import video as video_zoo
-    from fastvision_tpu.train import (
-        Fit,
-        build_optimizer,
-        classification_evaluator,
-        cross_entropy,
-        make_eval_step,
-        warmup_cosine_lr,
-    )
-    from train_video import VideoClipLoader
+    """Video convergence through the REAL CLI `train-video` path
+    (VideoFolderDataset + VideoClipLoader + frame sampler)."""
+    from fastvision_tpu.cli import main as cli
 
     root = os.path.join(out, "video_data")
     if not os.path.isdir(os.path.join(root, "train")):
         generate_video(root, size=size)
-    set_random_seeds(0)
-    mesh = create_mesh()
-    train_loader = VideoClipLoader(root, "train", frames, size, batch_size,
-                                   strategy="average")
-    val_loader = VideoClipLoader(root, "val", frames, size, batch_size,
-                                 strategy="average", train=False)
-    model = getattr(video_zoo, model_name)(num_classes=len(MOTIONS),
-                                           dtype=jnp.bfloat16)
-    clip0 = jnp.zeros((2, frames, size, size, 3))
-    variables = model.init(jax.random.key(0), clip0, train=True)
-
-    def apply_fn(v, clips, **kw):
-        return model.apply(v, normalize_images(clips, model.dtype, imagenet=True), **kw)
-
-    def loss_fn(logits, batch):
-        import jax.numpy as jnp
-
-        acc = jnp.mean(jnp.argmax(logits, -1) == batch["labels"])
-        return cross_entropy(logits, batch["labels"]), {"acc": acc}
-
     ckpt = os.path.abspath(os.path.join(out, "ckpt_video"))
-    steps = epochs * max(len(train_loader), 1)
-    fit = Fit(
-        apply_fn, loss_fn, build_optimizer("sgd", variables["params"]),
-        variables, train_loader, val_loader, epochs=epochs, mesh=mesh,
-        schedule=warmup_cosine_lr(lr, lr * 1e-2, steps,
-                                  warmup_steps=max(len(train_loader), 1)),
-        evaluator=classification_evaluator(make_eval_step(apply_fn), mesh=mesh),
-        metric_key="accuracy", metric_mode="max",
-        eval_every=2, ckpt_dir=ckpt, logger=MetricLogger(ckpt),
-        save_every_epoch=False,
-    )
-    fit.run()
+    cli([
+        "train-video",
+        f"data.data_root={root}", f"data.input_size={size}",
+        f"data.batch_size={batch_size}", "data.num_classes=3",
+        f"data.num_frames={frames}", "data.frame_strategy=average",
+        "model.num_classes=3", f"model.backbone={model_name}",
+        f"train.ckpt_dir={ckpt}", f"train.epochs={epochs}",
+        f"train.lr={lr}", "train.final_lr=1e-4", "train.warmup_epochs=1",
+        "train.optimizer=sgd", "train.eval_every=2",
+        "train.save_every_epoch=false",
+    ])
     return _last_metric(os.path.join(ckpt, "train.jsonl"), "accuracy")
 
 

@@ -3,16 +3,20 @@
 Dataset layout: <root>/{train,val}/<class_name>/<clip>.mp4 (or frame dirs).
 Covers the reference's videoRecognition training path with frame samplers
 (datasets/common/video_sampler.py) feeding NDHWC clips.
+
+This is the library-API version; the equivalent CLI is
+
+    python -m fastvision_tpu train-video data.data_root=<root> \
+        model.backbone=slowfast_resnet50 data.num_frames=16 \
+        data.input_size=112
 """
 import argparse
-import os
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from fastvision_tpu.core import create_mesh, set_random_seeds
-from fastvision_tpu.data import load_clip, normalize_images
+from fastvision_tpu.data import VideoClipLoader, VideoFolderDataset, normalize_images
 from fastvision_tpu.models import video as video_zoo
 from fastvision_tpu.train import (
     Fit,
@@ -22,47 +26,6 @@ from fastvision_tpu.train import (
     make_eval_step,
     warmup_cosine_lr,
 )
-
-VIDEO_EXTS = (".mp4", ".avi", ".mov", ".mkv")
-
-
-class VideoClipLoader:
-    """Fixed-shape clip batches: [B, T, S, S, 3] uint8 + labels [B]."""
-
-    def __init__(self, root, split, num_frames=16, size=112, batch_size=8,
-                 strategy="average", train=True, seed=0):
-        self.dir = os.path.join(root, split)
-        self.classes = sorted(os.listdir(self.dir))
-        self.samples = [
-            (os.path.join(self.dir, c, f), ci)
-            for ci, c in enumerate(self.classes)
-            for f in sorted(os.listdir(os.path.join(self.dir, c)))
-            if f.lower().endswith(VIDEO_EXTS)
-        ]
-        self.num_frames, self.size = num_frames, size
-        self.batch_size, self.strategy = batch_size, strategy
-        self.train, self.seed = train, seed
-
-    def __len__(self):
-        n = len(self.samples)
-        return n // self.batch_size if self.train else -(-n // self.batch_size)
-
-    def epoch(self, epoch_idx=0):
-        rng = np.random.default_rng((self.seed, epoch_idx))
-        order = rng.permutation(len(self.samples)) if self.train else np.arange(len(self.samples))
-        for b in range(len(self)):
-            idxs = order[b * self.batch_size : (b + 1) * self.batch_size]
-            clips, labels = [], []
-            for i in idxs:
-                path, label = self.samples[int(i)]
-                clips.append(load_clip(path, self.num_frames, self.strategy,
-                                       self.size, rng))
-                labels.append(label)
-            while len(clips) < self.batch_size:
-                clips.append(clips[-1])
-                labels.append(labels[-1])
-            yield {"images": np.stack(clips), "labels": np.asarray(labels, np.int32),
-                   "num_real": len(idxs)}
 
 
 def main():
@@ -79,11 +42,13 @@ def main():
 
     set_random_seeds(0)
     mesh = create_mesh()
-    train_loader = VideoClipLoader(args.data_root, "train", args.num_frames,
-                                   args.size, args.batch_size)
-    val_loader = VideoClipLoader(args.data_root, "val", args.num_frames,
-                                 args.size, args.batch_size, train=False)
-    num_classes = len(train_loader.classes)
+    train_ds = VideoFolderDataset(args.data_root, "train")
+    val_ds = VideoFolderDataset(args.data_root, "val", categories=train_ds.classes)
+    train_loader = VideoClipLoader(train_ds, args.num_frames, args.size,
+                                   args.batch_size)
+    val_loader = VideoClipLoader(val_ds, args.num_frames, args.size,
+                                 args.batch_size, train=False)
+    num_classes = len(train_ds.classes)
 
     model = getattr(video_zoo, args.model)(num_classes=num_classes, dtype=jnp.bfloat16)
     clip0 = jnp.zeros((2, args.num_frames, args.size, args.size, 3))

@@ -102,6 +102,10 @@ class DataConfig:
     # bytes; decoded on device inside the jitted step). Wins on hosts where
     # the device link is the bottleneck (docs/PERF.md).
     i420: bool = False
+    # video recognition (train-video): frames per clip and the sampler
+    # strategy (data/video_sampler.py: consecutive|random|average|clip_random)
+    num_frames: int = 16
+    frame_strategy: str = "average"
 
 
 @dataclass

@@ -42,6 +42,7 @@ from .pipeline import (
     normalize_images,
     prefetch_to_device,
 )
+from .video_dataset import VIDEO_EXTS, VideoClipLoader, VideoFolderDataset
 from .video_sampler import (
     count_real_frames,
     load_clip,

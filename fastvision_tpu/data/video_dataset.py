@@ -1,0 +1,152 @@
+"""Video recognition datasets + clip loader (first-class train-video path).
+
+Covers the reference's videoRecognition data story (folder-per-class clips,
+frame samplers — datasets/common/video_sampler.py) as a library component
+feeding the same Fit/eval harness as images:
+
+  - `VideoFolderDataset`: `<root>/<split>/<class_name>/<clip>` where each
+    clip is a video file (.mp4/.avi/...) OR a directory of frame images —
+    both common layouts for Kinetics/UCF-101 style datasets;
+  - `VideoClipLoader`: fixed-shape batches {images [B,T,S,S,3] uint8,
+    labels [B] int32, num_real} with deterministic per-sample sampling
+    (rng seeded by (seed, epoch, position) — same discipline as
+    DetectionLoader) and an optional thread pool for decode overlap
+    (cv2 video decode releases the GIL).
+
+Normalization runs on device inside the jitted step (`normalize_images`
+handles NDHWC), matching the detection/classification paths.
+"""
+from __future__ import annotations
+
+import os
+
+import numpy as np
+
+from .dataset import IMG_EXTS
+from .video_sampler import load_clip, sample_indices
+
+VIDEO_EXTS = (".mp4", ".avi", ".mov", ".mkv", ".webm")
+
+
+class VideoFolderDataset:
+    """Folder-per-class clips: video files or frame directories.
+
+    `categories` pins the class-index mapping (e.g. from a dataset YAML
+    descriptor); default is the sorted folder names of the split.
+    """
+
+    def __init__(self, root: str, split: str = "train",
+                 categories: list[str] | None = None):
+        self.dir = os.path.join(root, split)
+        found = sorted(
+            d for d in os.listdir(self.dir)
+            if os.path.isdir(os.path.join(self.dir, d))
+        )
+        self.classes = list(categories) if categories else found
+        index = {c: i for i, c in enumerate(self.classes)}
+        self.samples: list[tuple[str, int]] = []
+        for c in found:
+            if c not in index:
+                raise ValueError(
+                    f"split folder {c!r} not in categories {self.classes}")
+            cdir = os.path.join(self.dir, c)
+            for f in sorted(os.listdir(cdir)):
+                p = os.path.join(cdir, f)
+                if f.lower().endswith(VIDEO_EXTS) or os.path.isdir(p):
+                    self.samples.append((p, index[c]))
+        if not self.samples:
+            raise ValueError(f"no clips found under {self.dir}")
+
+    def __len__(self) -> int:
+        return len(self.samples)
+
+    def load_clip(
+        self,
+        idx: int,
+        num_frames: int,
+        strategy: str,
+        size: int,
+        rng: np.random.Generator,
+    ) -> tuple[np.ndarray, int]:
+        """-> ([T, size, size, 3] uint8 RGB clip, class index)."""
+        import cv2
+
+        path, label = self.samples[idx]
+        if os.path.isdir(path):  # frame-directory clip
+            frames = sorted(
+                f for f in os.listdir(path) if f.lower().endswith(IMG_EXTS)
+            )
+            take = sample_indices(len(frames), num_frames, strategy, rng)
+            clip = []
+            for i in take:
+                img = cv2.imread(os.path.join(path, frames[int(i)]))
+                img = cv2.cvtColor(img, cv2.COLOR_BGR2RGB)
+                clip.append(cv2.resize(img, (size, size)))
+            return np.stack(clip), label
+        return load_clip(path, num_frames, strategy, size, rng), label
+
+
+class VideoClipLoader:
+    """Fixed-shape clip batches for training/eval.
+
+    train=True shuffles per epoch and samples clips stochastically (but
+    deterministically given (seed, epoch, position)); train=False walks in
+    order with the strategy's rng fixed per position, pads the ragged last
+    batch and reports `num_real`.
+    """
+
+    def __init__(
+        self,
+        dataset: VideoFolderDataset,
+        num_frames: int = 16,
+        size: int = 112,
+        batch_size: int = 8,
+        strategy: str = "average",
+        train: bool = True,
+        seed: int = 0,
+        num_workers: int = 0,
+    ):
+        self.ds = dataset
+        self.num_frames = num_frames
+        self.size = size
+        self.batch_size = batch_size
+        self.strategy = strategy
+        self.train = train
+        self.seed = seed
+        self._pool = None
+        if num_workers and num_workers > 1:
+            from concurrent.futures import ThreadPoolExecutor
+
+            self._pool = ThreadPoolExecutor(max_workers=num_workers)
+
+    def __len__(self) -> int:
+        n = len(self.ds)
+        return n // self.batch_size if self.train else -(-n // self.batch_size)
+
+    def epoch(self, epoch_idx: int = 0):
+        rng = np.random.default_rng((self.seed, epoch_idx))
+        order = (rng.permutation(len(self.ds)) if self.train
+                 else np.arange(len(self.ds)))
+
+        def load(pos_idx):
+            pos, i = pos_idx
+            sample_rng = np.random.default_rng((self.seed, epoch_idx, pos))
+            return self.ds.load_clip(int(i), self.num_frames, self.strategy,
+                                     self.size, sample_rng)
+
+        for b in range(len(self)):
+            idxs = order[b * self.batch_size : (b + 1) * self.batch_size]
+            work = list(enumerate(idxs, start=b * self.batch_size))
+            if self._pool is not None:
+                outs = list(self._pool.map(load, work))
+            else:
+                outs = [load(w) for w in work]
+            real = len(outs)
+            while len(outs) < self.batch_size:  # ragged last eval batch
+                outs.append(outs[-1])
+            clips = np.stack([o[0] for o in outs])
+            labels = np.asarray([o[1] for o in outs], np.int32)
+            yield {"images": clips, "labels": labels, "num_real": real}
+
+    def __iter__(self):
+        return self.epoch(0)

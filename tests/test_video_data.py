@@ -1,0 +1,117 @@
+"""Video data layer + train-video CLI (ref videoRecognition/ family).
+
+VideoFolderDataset handles both clip layouts (video files and frame dirs);
+VideoClipLoader emits fixed-shape deterministic batches; the CLI wires it
+through the same Fit harness as classification (VERDICT r3 missing-4).
+"""
+import json
+import os
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture(scope="module")
+def video_root(tmp_path_factory):
+    import cv2
+
+    root = tmp_path_factory.mktemp("vids")
+    rng = np.random.default_rng(0)
+    for split, n in (("train", 4), ("val", 3)):
+        for cname in ("up", "down"):
+            d = root / split / cname
+            os.makedirs(d)
+            for i in range(n):
+                w = cv2.VideoWriter(str(d / f"{i}.avi"),
+                                    cv2.VideoWriter_fourcc(*"MJPG"), 10, (48, 48))
+                for _ in range(10):
+                    w.write(rng.integers(0, 255, (48, 48, 3), np.uint8))
+                w.release()
+    # one frame-directory clip alongside the videos
+    fd = root / "train" / "up" / "frames_clip"
+    os.makedirs(fd)
+    for t in range(6):
+        cv2.imwrite(str(fd / f"f{t:03d}.jpg"),
+                    rng.integers(0, 255, (32, 40, 3), np.uint8))
+    return str(root)
+
+
+def test_video_folder_dataset_layouts(video_root):
+    from fastvision_tpu.data import VideoFolderDataset
+
+    ds = VideoFolderDataset(video_root, "train")
+    assert ds.classes == ["down", "up"]
+    assert len(ds) == 9  # 4+4 videos + 1 frame dir
+    rng = np.random.default_rng(0)
+    # frame-dir clip decodes + resizes like a video clip
+    frame_dir_idx = next(i for i, (p, _) in enumerate(ds.samples)
+                         if os.path.isdir(p))
+    clip, label = ds.load_clip(frame_dir_idx, 4, "average", 32, rng)
+    assert clip.shape == (4, 32, 32, 3) and clip.dtype == np.uint8
+    assert label == ds.classes.index("up")
+    video_idx = next(i for i, (p, _) in enumerate(ds.samples)
+                     if not os.path.isdir(p))
+    clip, _ = ds.load_clip(video_idx, 4, "consecutive", 32, rng)
+    assert clip.shape == (4, 32, 32, 3)
+
+
+def test_video_folder_dataset_pinned_categories(video_root):
+    from fastvision_tpu.data import VideoFolderDataset
+
+    ds = VideoFolderDataset(video_root, "val", categories=["up", "down"])
+    assert ds.classes == ["up", "down"]
+    assert all(lab == 0 for p, lab in ds.samples if "/up/" in p)
+    with pytest.raises(ValueError, match="not in categories"):
+        VideoFolderDataset(video_root, "val", categories=["up"])
+
+
+def test_video_clip_loader_batches_and_determinism(video_root):
+    from fastvision_tpu.data import VideoClipLoader, VideoFolderDataset
+
+    ds = VideoFolderDataset(video_root, "val")
+    loader = VideoClipLoader(ds, num_frames=4, size=32, batch_size=4,
+                             train=False, seed=3)
+    batches = list(loader.epoch(0))
+    assert len(batches) == 2  # 6 clips, bs 4 -> ragged last
+    assert batches[0]["images"].shape == (4, 4, 32, 32, 3)
+    assert batches[0]["labels"].dtype == np.int32
+    assert batches[1]["num_real"] == 2
+    again = list(loader.epoch(0))
+    np.testing.assert_array_equal(batches[0]["images"], again[0]["images"])
+    # thread workers produce identical batches (per-sample rng contract)
+    threaded = VideoClipLoader(ds, num_frames=4, size=32, batch_size=4,
+                               train=False, seed=3, num_workers=2)
+    tb = list(threaded.epoch(0))
+    np.testing.assert_array_equal(batches[0]["images"], tb[0]["images"])
+    np.testing.assert_array_equal(batches[1]["labels"], tb[1]["labels"])
+
+
+def test_cli_train_video_smoke(video_root, tmp_path):
+    """train-video end-to-end: 2 epochs of a tiny 3D-ResNet over the toy
+    clips; checkpoint + accuracy metric land like train-cls."""
+    from fastvision_tpu.cli import main
+
+    ckpt = str(tmp_path / "ckpt_video")
+    main([
+        "train-video",
+        f"data.data_root={video_root}", "data.input_size=32",
+        "data.batch_size=8", "data.num_classes=2", "data.num_frames=4",
+        "data.num_workers=0", "model.num_classes=2",
+        "model.backbone=resnet18_3d", f"train.ckpt_dir={ckpt}",
+        "train.epochs=2", "train.lr=0.01", "train.warmup_epochs=1",
+        "train.eval_every=1", "train.bf16=false",
+        "train.save_every_epoch=false",
+    ])
+    recs = [json.loads(l) for l in open(os.path.join(ckpt, "train.jsonl"))]
+    assert any("accuracy" in r for r in recs)
+    assert any("train_loss" in r for r in recs)
+
+
+def test_cli_train_video_unknown_model(video_root, tmp_path):
+    from fastvision_tpu.cli import main
+
+    with pytest.raises(SystemExit, match="unknown video model"):
+        main([
+            "train-video", f"data.data_root={video_root}",
+            "model.backbone=nope", f"train.ckpt_dir={tmp_path}",
+        ])
