@@ -1,4 +1,9 @@
 """Parallelism utilities beyond plain data-parallel sharding."""
-from .pipeline import pipeline_apply, stack_stage_params
+from .pipeline import (
+    pipeline_apply,
+    pipeline_vit_apply,
+    stack_stage_params,
+    vit_stage_split,
+)
 from .tensor_shard import shard_variables, tp_spec
 from .time_shard import halo_exchange_time, time_sharded_conv
