@@ -128,18 +128,9 @@ def decode_scaling(worker_counts=(0, 2, 4, 8), n_images=256):
     root = _jpeg_fixture(n_images)
     ds = DetectionDataset(root, "val")
     out = {}
-    for w in worker_counts:
-        loader = DetectionLoader(
-            ds, input_size=416, batch_size=32, max_boxes=1, train=False,
-            drop_last=False, num_workers=w, worker_backend="process",
-        )
-        for _ in loader.epoch(0):  # warm workers + page cache
-            break
-        t0 = time.perf_counter()
-        n = sum(b["num_real"] for b in loader.epoch(0))
-        out[f"w{w}"] = round(n / (time.perf_counter() - t0), 1)
-        if loader._decode_pool is not None:
-            loader._decode_pool.close()
+    # measure the serial fused-native path FIRST: in r3 it ran last, after
+    # the DecodePool scaling runs, and recorded 244 img/s vs 505 measured
+    # clean — pool teardown/tunnel churn on the 1-core host contaminated it
     from fastvision_tpu import native
 
     if native.jpeg_i420_available():
@@ -152,6 +143,18 @@ def decode_scaling(worker_counts=(0, 2, 4, 8), n_images=256):
         t0 = time.perf_counter()
         n = sum(b["num_real"] for b in loader.epoch(0))
         out["i420_w0"] = round(n / (time.perf_counter() - t0), 1)
+    for w in worker_counts:
+        loader = DetectionLoader(
+            ds, input_size=416, batch_size=32, max_boxes=1, train=False,
+            drop_last=False, num_workers=w, worker_backend="process",
+        )
+        for _ in loader.epoch(0):  # warm workers + page cache
+            break
+        t0 = time.perf_counter()
+        n = sum(b["num_real"] for b in loader.epoch(0))
+        out[f"w{w}"] = round(n / (time.perf_counter() - t0), 1)
+        if loader._decode_pool is not None:
+            loader._decode_pool.close()
     return out
 
 

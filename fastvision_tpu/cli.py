@@ -48,7 +48,8 @@ def _build_detection(cfg, train: bool):
 
     # numpy (not device): these anchors are captured by jit closures
     anchors = COCO_ANCHORS.reshape(3, 3, 2)[::-1].astype(np.float32)
-    anchors = anchors * (cfg.data.input_size / 416.0)
+    if cfg.model.scale_anchors_with_input:
+        anchors = anchors * (cfg.data.input_size / 416.0)
     model = YOLOv3(
         num_classes=cfg.model.num_classes,
         dtype=jnp.bfloat16 if cfg.train.bf16 else jnp.float32,

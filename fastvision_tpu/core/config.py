@@ -149,6 +149,13 @@ class ModelConfig:
     num_classes: int = 80
     pretrained: str = ""  # checkpoint path (ours or torch)
     freeze: list = field(default_factory=list)  # param-name substrings
+    # True (default): COCO anchors scale with data.input_size/416 —
+    # right for training recipes where the same anchors should cover the
+    # chosen resolution. Set false for ultralytics-checkpoint parity eval
+    # at non-416 sizes: the reference keeps the canonical pixel anchors
+    # FIXED at any input size (demos/yolov3_u/inference.py:131-137), and
+    # the imported weights' wh logits assume exactly those anchors.
+    scale_anchors_with_input: bool = True
     # faster_rcnn: RPN anchor scales (x stride pixels); [] = model default
     anchor_scales: list = field(default_factory=list)
 

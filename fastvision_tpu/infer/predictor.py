@@ -635,7 +635,7 @@ class Detector:
                     boxes, det.classes.astype(jnp.float32), det.valid,
                     gt_xyxy, gt_cls, gt_valid, jnp.asarray(thresholds),
                 )
-                return det.scores, det.classes, det.valid, correct, gt_valid
+                return det.scores, det.classes, det.valid, correct
 
             self._infer_match = jax.jit(_infer_match)
             self._match_thresholds = thresholds
@@ -731,15 +731,19 @@ class Detector:
                 oh, ow = meta["orig_hw"]
                 lo[i] = (px, py)
                 hi[i] = (px + ow * sx, py + oh * sy)
-            scores, classes, valid, correct, gt_valid = jax.device_get(
+            scores, classes, valid, correct = jax.device_get(
                 program(self.variables, batch["images"], batch["labels"],
                         jnp.asarray(lo), jnp.asarray(hi))
             )
-            labels = np.asarray(batch["labels"])
             for i in range(batch["num_real"]):
+                # GT classes from the HOST-side meta (fetching the device
+                # labels array back would add a D2H per batch); truncate to
+                # max_boxes so the accumulator sees exactly the GT set the
+                # device matcher saw
+                gt_cls = batch["meta"][i]["gt_pixels"][:max_boxes, 0]
                 m.update_matched(
-                    correct[i], scores[i], classes[i], labels[i, :, 0],
-                    pred_valid=valid[i], gt_valid=gt_valid[i],
+                    correct[i], scores[i], classes[i], gt_cls,
+                    pred_valid=valid[i],
                 )
 
     # ------------------------------------------------------------------

@@ -16,10 +16,16 @@ Kernels:
     cv2's resize). Decodes the file's stored YCbCr planes via
     jpeg_read_raw_data (libjpeg-turbo SIMD huffman+IDCT, NO chroma
     upsample, NO RGB round-trip) and letterboxes in plane space.
-    Measured (single core, 640x480 -> 416, q90): 278 img/s vs 183 for the
-    cv2 imdecode->BGR2RGB->letterbox->RGB2YUV_I420 chain (1.5x), and the
-    output is MORE faithful to the original image (it keeps the encoder's
-    chroma instead of low-passing it twice; tests/test_native_jpeg.py).
+    Measured 2026-08-19 (single core, 256x 640x480 -> 416, q90), img/s:
+    bare kernel 581 vs cv2 imdecode alone 596 / cv2 RGB chain
+    (imdecode+BGR2RGB+letterbox) 456 / cv2 i420 chain 428; through
+    DetectionLoader: 505 (i420 native) vs 348 (rgb emit) — the fused
+    kernel beats even the RGB-only per-core budget by 1.45x AND halves the
+    bytes shipped to the device. (BENCH_r03's 244 img/s reading ran last
+    in the bench, after the DecodePool scaling runs — contaminated; the
+    bench now measures it first.) Output is also MORE faithful to the
+    original image (it keeps the encoder's chroma instead of low-passing
+    it twice; tests/test_native_jpeg.py).
 """
 from __future__ import annotations
 
