@@ -437,7 +437,8 @@ def cmd_train_video(args, overrides):
     fit.run()
 
 
-def _detector_from_cfg(cfg, ckpt: str | None, fast_decode: bool = False):
+def _detector_from_cfg(cfg, ckpt: str | None, fast_decode: bool = False,
+                       batch_buckets=()):
     import jax
     import jax.numpy as jnp
 
@@ -468,6 +469,7 @@ def _detector_from_cfg(cfg, ckpt: str | None, fast_decode: bool = False):
         multi_label=cfg.nms.multi_label,
         input_format="i420" if cfg.data.i420 else "rgb",
         fast_decode=fast_decode,
+        batch_buckets=batch_buckets,
     )
 
 
@@ -562,8 +564,13 @@ def cmd_serve(args, overrides):
     cfg = _load_config(args, overrides)
     from .infer.serving import VisionService, serve
 
+    # serving compiles 1/2/4-image buckets besides the full batch: a lone
+    # request pays a bs1 upload+forward instead of padding to batch_size
+    # (docs/PERF.md serving table — the upload IS the latency on thin
+    # links); each bucket is one extra cached compile at warmup
     det = _detector_from_cfg(cfg, args.ckpt,
-                             fast_decode=getattr(args, "fast_decode", False))
+                             fast_decode=getattr(args, "fast_decode", False),
+                             batch_buckets=(1, 2, 4))
     if getattr(args, "int8", False):
         calib_dir = getattr(args, "calib_dir", "")
         if calib_dir:

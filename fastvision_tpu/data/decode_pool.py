@@ -87,7 +87,7 @@ class DecodePool:
         num_workers: int,
         slot_shape: tuple[int, ...],
         n_slots: int | None = None,
-        start_method: str = "fork",
+        start_method: str | None = None,
     ):
         self.work_fn = work_fn
         self.num_workers = int(num_workers)
@@ -98,9 +98,15 @@ class DecodePool:
         n_slots = n_slots or max(4 * self.num_workers, 8)
         self.n_slots = n_slots
         slot_bytes = int(np.prod(self.slot_shape))
-        # 'fork' inherits work_fn/state without pickling (default);
+        # 'fork' inherits work_fn/state without pickling;
         # 'forkserver'/'spawn' require a picklable work_fn but avoid
-        # forking a multi-threaded parent (e.g. after jax/TPU init)
+        # forking a multi-threaded parent. Default (None) auto-detects:
+        # never fork() once jax is imported (its client threads make fork
+        # deadlock-prone), plain fork otherwise (fastest).
+        if start_method is None:
+            import sys
+
+            start_method = "forkserver" if "jax" in sys.modules else "fork"
         ctx = mp.get_context(start_method)
         self._shm = shared_memory.SharedMemory(
             create=True, size=slot_bytes * n_slots

@@ -69,6 +69,15 @@ class Detector:
         # Use with pad_value=0 to reproduce its published mAP sweep.
         postprocess_mode: str = "standard",
         min_box_px: float = 5.0,  # demo-mode pre-NMS min box side (original px)
+        # extra compiled batch sizes BELOW batch_size: a request of n
+        # images pads to the smallest bucket >= n instead of always to
+        # batch_size. jax.jit caches one executable per shape, so each
+        # bucket costs one extra compile and nothing after. Serving wins
+        # the most: a single request at buckets=(1, 8) pays a bs1 upload
+        # + forward instead of 8x both (on link-bound hosts the upload IS
+        # the latency — docs/PERF.md serving table). Ignored under a mesh
+        # for buckets that don't divide the data axis.
+        batch_buckets: Sequence[int] = (),
     ):
         self.mesh = mesh
         # one-time device placement: checkpoint restores hand back NUMPY
@@ -86,6 +95,13 @@ class Detector:
         self.anchors = np.asarray(anchors, np.float32)
         self.input_size = input_size
         self.batch_size = batch_size
+        buckets = sorted({int(b) for b in batch_buckets if 0 < int(b) < batch_size})
+        if mesh is not None:
+            from ..core.mesh import DATA_AXIS
+
+            n_dev = mesh.shape[DATA_AXIS]
+            buckets = [b for b in buckets if b % n_dev == 0]
+        self.batch_buckets = (*buckets, batch_size)
         self.class_names = list(class_names) if class_names else None
         self.conf_thres = conf_thres
         self.iou_thres = iou_thres
@@ -270,8 +286,11 @@ class Detector:
         batch, metas = preprocess_batch(images, self.input_size,
                                         pad_value=self.pad_value,
                                         fast_decode=self.fast_decode)
-        if n < self.batch_size:  # pad to the compiled batch size
-            batch = np.concatenate([batch, np.repeat(batch[-1:], self.batch_size - n, 0)])
+        # pad to the smallest compiled bucket that fits (one executable
+        # per bucket shape, cached by jax.jit)
+        target = next(b for b in self.batch_buckets if b >= n)
+        if n < target:
+            batch = np.concatenate([batch, np.repeat(batch[-1:], target - n, 0)])
         if self.postprocess_mode == "reference_demo":
             return self._predict_batch_demo(batch, metas, n)
         if self.input_format == "i420":
@@ -352,8 +371,9 @@ class Detector:
             arrs.append(a)
             origs.append(ohw)
         canvas, sizes = pack_canvas(arrs, *self.canvas_hw)
-        if n < self.batch_size:
-            reps = self.batch_size - n
+        target = next(b for b in self.batch_buckets if b >= n)
+        if n < target:
+            reps = target - n
             canvas = np.concatenate([canvas, np.repeat(canvas[-1:], reps, 0)])
             sizes = np.concatenate([sizes, np.repeat(sizes[-1:], reps, 0)])
         det, scales, pads = jax.device_get(
@@ -562,8 +582,9 @@ class Detector:
         # i420: the loader emits the packed [B,S*3/2,S] buffer directly —
         # via the fused native JPEG->I420 decode (no RGB round-trip,
         # native/jpeg_i420.cpp) when available, cv2 conversion otherwise;
-        # either way half the H2D bytes in ONE transfer.
-        stream = prefetch_to_device(loader.epoch(0), mesh=None)
+        # either way half the H2D bytes in ONE transfer. With a mesh, the
+        # batch lands pre-sharded over the 'data' axis (multi-chip eval).
+        stream = prefetch_to_device(loader.epoch(0), mesh=self.mesh)
         demo = self.postprocess_mode == "reference_demo"
         for batch in stream:
             if self.input_format == "i420":
@@ -682,7 +703,7 @@ class Detector:
         )
         B = self.batch_size
         size = float(self.input_size)
-        for batch in prefetch_to_device(loader.epoch(0), mesh=None):
+        for batch in prefetch_to_device(loader.epoch(0), mesh=self.mesh):
             det = jax.device_get(program(self.variables, batch["images"]))
             for i in range(batch["num_real"]):
                 meta = batch["meta"][i]
@@ -719,7 +740,7 @@ class Detector:
             num_workers=num_workers,
             emit="i420" if self.input_format == "i420" else "rgb",
         )
-        for batch in prefetch_to_device(loader.epoch(0), mesh=None):
+        for batch in prefetch_to_device(loader.epoch(0), mesh=self.mesh):
             # per-image letterbox content region = what scale_coords clips
             # to in original space, expressed in input space
             lo = np.zeros((self.batch_size, 2), np.float32)
@@ -841,7 +862,7 @@ class Detector:
             ds, self.input_size, self.batch_size, max_boxes=1, train=False,
             drop_last=False, pad_value=self.pad_value)
         metrics = [MeanAveragePrecision() for _ in points]
-        for batch in prefetch_to_device(loader.epoch(0), mesh=None):
+        for batch in prefetch_to_device(loader.epoch(0), mesh=self.mesh):
             for m, (conf, iou) in zip(metrics, points):
                 det: Detections = jax.device_get(self._infer_sweep(
                     self.variables, batch["images"],

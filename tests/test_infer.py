@@ -381,6 +381,27 @@ def test_detector_tta_flip_invariance(detector, rng):
         np.testing.assert_allclose(a, b, atol=1e-2)
 
 
+def test_batch_buckets_match_full_padding(rng):
+    """batch_buckets pads small requests to the smallest compiled bucket
+    instead of batch_size; results must be identical (NMS is per-image),
+    and invalid bucket values are filtered."""
+    model = YOLOv3(num_classes=3)
+    variables = model.init(jax.random.key(0), jnp.zeros((1, 96, 96, 3)), train=True)
+    kw = dict(input_size=96, conf_thres=0.3, dtype=jnp.float32)
+    plain = Detector(model, variables, ANCHORS, batch_size=4, **kw)
+    bucketed = Detector(model, variables, ANCHORS, batch_size=4,
+                        batch_buckets=(1, 2, 9, 0), **kw)
+    assert bucketed.batch_buckets == (1, 2, 4)  # 9 > bs and 0 dropped
+    imgs = [rng.integers(0, 255, (100, 80, 3)).astype(np.uint8) for _ in range(3)]
+    for n in (1, 2, 3):
+        a = plain.predict_batch(imgs[:n])
+        b = bucketed.predict_batch(imgs[:n])
+        for ra, rb in zip(a, b):
+            np.testing.assert_allclose(rb["boxes"], ra["boxes"], atol=1e-4)
+            np.testing.assert_array_equal(rb["classes"], ra["classes"])
+            np.testing.assert_allclose(rb["scores"], ra["scores"], atol=1e-6)
+
+
 def test_evaluate_tta_pipelined_matches_predict_tta(detector, tmp_path, rng):
     """evaluate(tta=True) now streams both orientations through ONE jitted
     call over the prefetch pipeline (VERDICT r3 weak-5). On symmetric-pad

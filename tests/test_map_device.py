@@ -134,6 +134,44 @@ def test_detector_evaluate_device_matches_host(tmp_path, rng):
         assert dev["map"] == pytest.approx(host["map"], abs=1e-7), fmt
 
 
+def test_detector_evaluate_on_mesh_matches_single(tmp_path, rng, mesh):
+    """Multi-chip eval: Detector(mesh=...).evaluate shards each batch over
+    the data axis through the prefetch stream; results == single-device,
+    for both device- and host-matched paths and for pipelined TTA."""
+    import cv2
+
+    from fastvision_tpu.data import DetectionDataset
+    from fastvision_tpu.infer import Detector
+    from fastvision_tpu.models.detection import YOLOv3
+
+    anchors = np.asarray(
+        [[[60, 50], [70, 60], [80, 70]],
+         [[40, 35], [50, 40], [55, 45]],
+         [[20, 18], [28, 24], [34, 30]]], np.float32)
+    root = tmp_path / "ds"
+    os.makedirs(root / "val" / "images")
+    os.makedirs(root / "val" / "labels")
+    for i in range(10):  # ragged: 10 imgs at bs8 -> padded last batch
+        cv2.imwrite(str(root / "val" / "images" / f"i{i}.jpg"),
+                    rng.integers(0, 255, (90, 120, 3)).astype(np.uint8))
+        (root / "val" / "labels" / f"i{i}.txt").write_text(
+            "0 10 10 60 50\n1 30 20 100 80\n")
+    ds = DetectionDataset(str(root), "val")
+
+    model = YOLOv3(num_classes=3)
+    variables = model.init(jax.random.key(0), jnp.zeros((1, 96, 96, 3)),
+                           train=True)
+    kw = dict(input_size=96, batch_size=8, conf_thres=0.05, dtype=jnp.float32)
+    single = Detector(model, variables, anchors, **kw)
+    sharded = Detector(model, variables, anchors, mesh=mesh, **kw)
+    for kwargs in ({}, {"device_matching": False}, {"tta": True}):
+        a = single.evaluate(ds, **kwargs)
+        b = sharded.evaluate(ds, **kwargs)
+        assert b["images"] == 10
+        assert b["map50"] == pytest.approx(a["map50"], abs=1e-6), kwargs
+        assert b["map"] == pytest.approx(a["map"], abs=1e-6), kwargs
+
+
 def test_evaluate_device_matching_rejects_unsupported(tmp_path, rng):
     from fastvision_tpu.infer import Detector
     from fastvision_tpu.models.detection import YOLOv3

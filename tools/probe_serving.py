@@ -90,8 +90,9 @@ def main():
 
     results = {}
     for window_ms, tag in ((0.0, "window0"), (5.0, "window5"), (20.0, "window20")):
+        # same bucket set cmd_serve uses: lone requests ride a bs1 program
         det = Detector(model, variables, anchors, input_size=S, batch_size=8,
-                       dtype=jnp.bfloat16)
+                       dtype=jnp.bfloat16, batch_buckets=(1, 2, 4))
         svc = VisionService(det)
         port = _free_port()
         server = make_server(svc, "127.0.0.1", port, batch_window_ms=window_ms)
