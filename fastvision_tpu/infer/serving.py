@@ -59,6 +59,15 @@ class VisionService:
             self.detector.predict_image(self._decode_bytes(image_bytes))
         )
 
+    def warmup(self) -> None:
+        """Compile every batch bucket BEFORE taking traffic: a bucket's
+        first use otherwise compiles mid-request (tens of seconds over a
+        slow link — measured as 24-30 s p99 spikes; docs/PERF.md). With a
+        persistent compile cache (cfg.compile_cache) this is a disk load."""
+        dummy = np.zeros((64, 64, 3), np.uint8)
+        for b in getattr(self.detector, "batch_buckets", (self.detector.batch_size,)):
+            self.detector.predict_batch([dummy] * int(b))
+
     def predict_many(self, payloads: Sequence[bytes]) -> list[dict]:
         """One device call for several requests (micro-batching path)."""
         images = [self._decode_bytes(b) for b in payloads]
@@ -141,6 +150,8 @@ def serve(service: VisionService, host: str = "0.0.0.0", port: int = 8080,
 
     Concurrent POST /predict requests are micro-batched into one device
     call; GET /health reports liveness."""
+    print("[serve] warming compiled batch buckets...")
+    service.warmup()
     server = make_server(service, host, port, batch_window_ms)
     print(f"[serve] listening on {host}:{port} "
           f"(POST /predict, GET /health)")

@@ -98,7 +98,8 @@ def main():
         server = make_server(svc, "127.0.0.1", port, batch_window_ms=window_ms)
         t = threading.Thread(target=server.serve_forever, daemon=True)
         t.start()
-        svc.predict(payload)  # compile + warm
+        svc.warmup()  # compile every bucket BEFORE traffic (as serve() does)
+        svc.predict(payload)
         rows = []
         for conc in (1, 4, 8):
             rows.append(_latency_run(port, payload, args.requests, conc))
