@@ -68,6 +68,14 @@ def _build_detection(cfg, train: bool):
     return model, variables, anchors
 
 
+def _preempt_signals(cfg):
+    """SIGTERM -> checkpoint-and-exit for all train commands (the signal
+    preemptible TPU VMs receive); train.preempt_save=false disables."""
+    import signal
+
+    return (signal.SIGTERM,) if cfg.train.preempt_save else ()
+
+
 def _maybe_step_fn(cfg, apply_fn, loss_fn, tx, has_batch_stats=True,
                    batch_transform=None):
     """A custom jitted step only when train.microbatch / train.remat /
@@ -192,6 +200,7 @@ def cmd_train(args, overrides):
         ema_decay=cfg.train.ema_decay,
         step_fn=_maybe_step_fn(cfg, apply_fn, loss_fn, tx),
         multiscale=cfg.train.multiscale or None,
+        preempt_signals=_preempt_signals(cfg),
     )
     fit.run()
 
@@ -264,6 +273,7 @@ def _train_faster_rcnn(cfg, args):
         resume=args.resume,
         metric_key="map50", metric_mode="max",
         step_fn=make_frcnn_train_step(model, tx, seed=cfg.train.seed),
+        preempt_signals=_preempt_signals(cfg),
     )
     fit.run()
 
@@ -356,6 +366,7 @@ def cmd_train_cls(args, overrides):
         metric_key="accuracy", metric_mode="max",
         step_fn=_maybe_step_fn(cfg, apply_fn, loss_fn, tx,
                                batch_transform=mix_transform),
+        preempt_signals=_preempt_signals(cfg),
     )
     fit.run()
 
@@ -433,6 +444,7 @@ def cmd_train_video(args, overrides):
         metric_key="accuracy", metric_mode="max",
         eval_every=cfg.train.eval_every,
         save_every_epoch=cfg.train.save_every_epoch,
+        preempt_signals=_preempt_signals(cfg),
     )
     fit.run()
 

@@ -132,6 +132,10 @@ class CheckpointManager:
         meta = dict(extra or {})
         meta["date"] = datetime.datetime.now().isoformat()
         meta["step"] = step
+        if step in self._mgr.all_steps():
+            # overwrite, don't raise: a preemption checkpoint occupies the
+            # interrupted epoch's slot; the redone epoch saves over it
+            self._mgr.delete(step)
         self._mgr.save(
             step,
             args=ocp.args.Composite(

@@ -140,6 +140,9 @@ class TrainConfig:
     ckpt_dir: str = "./checkpoints"
     save_every_epoch: bool = True
     eval_every: int = 1  # epochs between val mAP runs
+    # checkpoint-and-exit on SIGTERM (preemptible TPU pods); resume=True
+    # then redoes the interrupted epoch from the saved mid-epoch state
+    preempt_save: bool = True
 
 
 @dataclass

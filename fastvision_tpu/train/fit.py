@@ -62,6 +62,7 @@ class Fit:
         step_fn: Callable | None = None,  # prebuilt (state, batch, lr) -> (state, metrics)
         ema_decay: float = 0.0,  # >0 enables EMA weights for eval/checkpoint
         multiscale: Sequence[int] | None = None,  # per-epoch train input sizes
+        preempt_signals: Sequence[int] = (),  # e.g. (signal.SIGTERM,)
     ):
         self.step_fn = step_fn or make_train_step(apply_fn, loss_fn, tx)
         self.state = TrainState.create(variables, tx)
@@ -99,6 +100,17 @@ class Fit:
                 raise ValueError(f"multiscale sizes must be multiples of 32: {bad}")
             if self._base_input_size is None:
                 raise ValueError("multiscale needs a train_loader with .input_size")
+        # Preemption safety (TPU pods are preemptible in production; the
+        # reference's only recovery is a manual --start_epoch flag,
+        # SURVEY.md §5). When one of `preempt_signals` arrives (or
+        # request_preempt() is called), the harness finishes the in-flight
+        # step, writes a checkpoint, and returns with .interrupted=True;
+        # `resume=True` then REDOES the interrupted epoch from the saved
+        # mid-epoch params (epoch-granular resume keeps the data pipeline
+        # deterministic — per-sample RNG is keyed on (seed, epoch, pos)).
+        self.preempt_signals = tuple(preempt_signals)
+        self._preempt = False
+        self.interrupted = False
         self.ema_decay = ema_decay
         self.ema_params = None
         self._ema_update = None
@@ -150,6 +162,13 @@ class Fit:
                 self.ema_params = replicate(self.ema_params, mesh)
 
     # ------------------------------------------------------------------
+    def request_preempt(self) -> None:
+        """Ask the harness to checkpoint and stop after the current step.
+
+        Safe to call from a signal handler or another thread; the train
+        loop polls the flag at batch boundaries."""
+        self._preempt = True
+
     def _lr(self) -> float:
         lr = self.schedule(self.global_step)
         if self.plateau is not None:
@@ -164,6 +183,8 @@ class Fit:
         t0 = time.perf_counter()
         n_images = 0
         for batch in prefetch_to_device(loader.epoch(epoch), mesh=self.mesh):
+            if self._preempt:
+                break
             lr = lr_override if lr_override is not None else self._lr()
             self.state, metrics = self.step_fn(self.state, batch, lr)
             if self._ema_update is not None:
@@ -185,6 +206,8 @@ class Fit:
                     img_per_sec=n_images / max(dt, 1e-9),
                 )
         if n_steps == 0:
+            if self._preempt:  # signal landed before the first batch
+                return float("nan")
             raise ValueError(
                 f"train loader produced zero batches in epoch {epoch} "
                 "(dataset smaller than batch_size with drop_last?)"
@@ -220,6 +243,42 @@ class Fit:
 
     # ------------------------------------------------------------------
     def run(self) -> TrainState:
+        import signal as _signal
+
+        installed = []
+        for sig in self.preempt_signals:
+            try:
+                prev = _signal.signal(sig, lambda *_: self.request_preempt())
+                installed.append((sig, prev))
+            except ValueError:
+                # not the main thread: the caller owns signal dispatch and
+                # can call request_preempt() directly
+                pass
+        try:
+            return self._run()
+        finally:
+            for sig, prev in installed:
+                _signal.signal(sig, prev)
+
+    def _save_preempt(self, epoch: int, epoch_start_step: int) -> None:
+        """Checkpoint an interrupted epoch: saved under the epoch's step
+        slot but stamped epoch-1 / the epoch's STARTING global_step, so
+        resume redoes the whole epoch (params resume mid-epoch progress;
+        the LR schedule replays the epoch's positions)."""
+        self.ckpt.save(
+            epoch,
+            jax.device_get(self.state.params),
+            opt_state=jax.device_get(self.state.opt_state),
+            batch_stats=(jax.device_get(self.state.batch_stats)
+                         if self.state.batch_stats else None),
+            ema_params=(jax.device_get(self.ema_params)
+                        if self.ema_params is not None else None),
+            extra={"epoch": epoch - 1, "global_step": epoch_start_step,
+                   "preempted": True},
+        )
+        self.ckpt.wait()
+
+    def _run(self) -> TrainState:
         main_epochs = self.epochs - self.no_aug_epochs
         for epoch in range(self.start_epoch, self.epochs):
             no_aug_phase = epoch >= main_epochs
@@ -234,7 +293,16 @@ class Fit:
                     size = self.epoch_input_size(epoch)
                     loader.input_size = size
                     self.logger.log(self.global_step, epoch=epoch, img_size=size)
+            epoch_start_step = self.global_step
             train_loss = self._train_epoch(epoch, loader, lr_override)
+            if self._preempt:
+                self.interrupted = True
+                if self.ckpt is not None:
+                    self._save_preempt(epoch, epoch_start_step)
+                self.logger.log(self.global_step, epoch=epoch, preempted=True)
+                print(f"[fit] preempted in epoch {epoch}: checkpoint saved, "
+                      "resume will redo this epoch")
+                break
 
             val_metrics = {}
             if (epoch + 1) % self.eval_every == 0 or epoch == self.epochs - 1:

@@ -406,3 +406,55 @@ def test_multiscale_training(det_data, tmp_path):
 def test_multiscale_rejects_bad_sizes(det_data, tmp_path):
     with pytest.raises(ValueError, match="multiples of 32"):
         make_yolo_fit(det_data, tmp_path, epochs=1, multiscale=(50, 96))
+
+
+def test_preemption_checkpoint_and_resume(det_data, tmp_path):
+    """Preemption safety: a SIGTERM-style interrupt mid-epoch checkpoints
+    the in-flight state and exits; resume=True redoes the interrupted
+    epoch and completes the run (the reference's only recovery is a
+    manual --start_epoch flag, SURVEY.md §5)."""
+    import signal
+
+    fit = make_yolo_fit(det_data, tmp_path, epochs=3,
+                        preempt_signals=(signal.SIGUSR1,))
+    # deliver the signal right after epoch 1's first batch is produced
+    orig_epoch = fit.train_loader.epoch
+
+    def epoch_with_signal(e):
+        for i, b in enumerate(orig_epoch(e)):
+            yield b
+            if e == 1 and i == 0:
+                os.kill(os.getpid(), signal.SIGUSR1)
+
+    fit.train_loader.epoch = epoch_with_signal
+    fit.run()
+    assert fit.interrupted
+    assert fit.ckpt.latest_step() == 1  # the interrupted epoch's slot
+    meta = fit.ckpt.restore(like={"params": fit.state.params})["meta"]
+    assert meta.get("preempted") is True
+    assert meta["epoch"] == 0  # stamped one back: resume redoes epoch 1
+    assert meta["global_step"] == 2  # epoch 1's STARTING step (2 batches/ep)
+
+    # resume: redo epoch 1, run epoch 2, finish clean (overwrites the
+    # preempt checkpoint occupying step 1 — exercises idempotent save)
+    fit2 = make_yolo_fit(det_data, tmp_path, epochs=3, resume=True)
+    assert fit2.start_epoch == 1
+    assert fit2.global_step == 2
+    fit2.run()
+    assert not fit2.interrupted
+    assert fit2.ckpt.latest_step() == 2
+    assert fit2.global_step == 6  # epochs 1-2 redone on top of step 2
+    meta2 = fit2.ckpt.restore(like={"params": fit2.state.params})["meta"]
+    assert "preempted" not in meta2 and meta2["epoch"] == 2
+
+
+def test_request_preempt_before_first_batch(det_data, tmp_path):
+    """A preempt flag set before any batch still exits cleanly (no
+    zero-batch error) and checkpoints whatever state exists."""
+    fit = make_yolo_fit(det_data, tmp_path, epochs=2)
+    fit.request_preempt()
+    fit.run()
+    assert fit.interrupted
+    assert fit.ckpt.latest_step() == 0
+    meta = fit.ckpt.restore(like={"params": fit.state.params})["meta"]
+    assert meta["epoch"] == -1 and meta["global_step"] == 0
