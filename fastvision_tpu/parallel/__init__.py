@@ -1,7 +1,9 @@
 """Parallelism utilities beyond plain data-parallel sharding."""
 from .pipeline import (
     pipeline_apply,
+    pipeline_hetero_apply,
     pipeline_vit_apply,
+    resnet_stage_split,
     stack_stage_params,
     vit_stage_split,
 )

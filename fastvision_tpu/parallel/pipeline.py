@@ -110,6 +110,196 @@ def stack_stage_params(params_list: list) -> Any:
     return jax.tree.map(lambda *xs: jnp.stack(xs), *params_list)
 
 
+def pipeline_hetero_apply(
+    stage_fns: list,
+    stage_params: list,
+    microbatches: jnp.ndarray,  # [n_micro, mb, ...] — streamed in order
+    mesh: Mesh,
+    axis_name: str = MODEL_AXIS,
+) -> jnp.ndarray:
+    """GPipe over HETEROGENEOUS stages (different params AND activations).
+
+    Lifts pipeline_apply's classic one-shape restriction so real conv
+    models (ResNet stem -> stage2 -> stage3 -> stage4+head) can be staged,
+    not just homogeneous transformer blocks. The trick is to make every
+    device run one SPMD program over uniform buffers:
+
+      - each stage's param pytree is raveled to a 1-D vector, zero-padded
+        to the longest stage, and the [n_stages, P] stack is sharded over
+        `axis_name` — true param sharding (each device holds ~its own
+        stage) without requiring a common pytree structure;
+      - inter-stage activations ride a flat buffer sized to the LARGEST
+        boundary; `lax.switch(stage_idx, ...)` picks the device's branch,
+        which unravels its params, reshapes its slice of the buffer to
+        its real input shape, applies, and re-flattens. All branches
+        return the same flat aval, so heterogeneity is legal under SPMD;
+      - the scan/ppermute schedule (and hence differentiability — grads
+        of a pipelined forward ARE GPipe backward) is identical to
+        pipeline_apply.
+
+    Costs to know about: every ring hop moves the padded max-boundary
+    buffer (for shrinking CNN activations the first boundary dominates,
+    so overhead is small), and each device compiles all n_stages branches
+    (code size, not runtime). stage_fns[i](stage_params[i], x) -> y must
+    take and return a single array; len(stage_fns) == mesh.shape[axis_name].
+    """
+    import numpy as np
+    from jax.flatten_util import ravel_pytree
+
+    n_stages = mesh.shape[axis_name]
+    if len(stage_fns) != n_stages or len(stage_params) != n_stages:
+        raise ValueError(
+            f"{len(stage_fns)} stage_fns / {len(stage_params)} stage_params "
+            f"for a {n_stages}-device '{axis_name}' axis")
+
+    # Chain activation shapes through the stages (static — eval_shape).
+    mb_struct = jax.eval_shape(lambda m: m[0], microbatches)
+    boundary = [mb_struct]
+    for f, p in zip(stage_fns, stage_params):
+        boundary.append(jax.eval_shape(f, p, boundary[-1]))
+    sizes = [int(np.prod(b.shape)) for b in boundary]
+    buf_size = max(sizes)
+    buf_dtype = jnp.result_type(*[b.dtype for b in boundary])
+
+    unravels, vec_dtypes, vec_lens, padded = [], [], [], []
+    for p in stage_params:
+        vec, unravel = ravel_pytree(p)
+        unravels.append(unravel)
+        vec_dtypes.append(vec.dtype)
+        vec_lens.append(vec.size)
+        padded.append(vec)
+    p_size = max(vec_lens)
+    stacked = jnp.stack([
+        jnp.pad(v.astype(jnp.float32), (0, p_size - v.size)) for v in padded
+    ])
+
+    def make_branch(i):
+        in_shape, in_dtype = boundary[i].shape, boundary[i].dtype
+        in_size, out_size = sizes[i], sizes[i + 1]
+
+        def branch(pvec, act):
+            p = unravels[i](pvec[:vec_lens[i]].astype(vec_dtypes[i]))
+            x = act[:in_size].reshape(in_shape).astype(in_dtype)
+            y = stage_fns[i](p, x)
+            return jnp.pad(y.reshape(-1).astype(buf_dtype),
+                           (0, buf_size - out_size))
+
+        return branch
+
+    branches = [make_branch(i) for i in range(n_stages)]
+
+    def local(stacked_local, mbs):
+        pvec = stacked_local[0]  # [p_size] — this device's stage vector
+        idx = lax.axis_index(axis_name)
+        n_micro = mbs.shape[0]
+        ticks = n_micro + n_stages - 1
+        shift = [(i, (i + 1) % n_stages) for i in range(n_stages)]
+
+        def tick(carry, t):
+            acts, outs = carry  # acts: [buf_size], outs: [n_micro, buf_size]
+            feed_mb = lax.dynamic_index_in_dim(
+                mbs, jnp.minimum(t, n_micro - 1), keepdims=False)
+            feed = jnp.pad(feed_mb.reshape(-1).astype(buf_dtype),
+                           (0, buf_size - sizes[0]))
+            x = jnp.where(idx == 0, feed, acts)
+            y = lax.switch(idx, branches, pvec, x)
+            m = t - (n_stages - 1)
+            mi = jnp.clip(m, 0, n_micro - 1)
+            cur = lax.dynamic_index_in_dim(outs, mi, keepdims=False)
+            outs = lax.dynamic_update_index_in_dim(
+                outs, jnp.where(m >= 0, y, cur), mi, 0)
+            acts = lax.ppermute(y, axis_name, shift)
+            return (acts, outs), None
+
+        outs0 = lax.pcast(jnp.zeros((n_micro, buf_size), buf_dtype),
+                          (axis_name,), to="varying")
+        acts0 = lax.pcast(jnp.zeros((buf_size,), buf_dtype),
+                          (axis_name,), to="varying")
+        (_, outs), _ = lax.scan(tick, (acts0, outs0), jnp.arange(ticks))
+        outs = jnp.where(idx == n_stages - 1, outs, jnp.zeros_like(outs))
+        return lax.psum(outs, axis_name)
+
+    outs = shard_map(
+        local, mesh=mesh, in_specs=(P(axis_name), P()), out_specs=P(),
+    )(stacked, microbatches)
+    out = boundary[-1]
+    return outs[:, : sizes[-1]].reshape(
+        microbatches.shape[0], *out.shape).astype(out.dtype)
+
+
+def resnet_stage_split(model, variables: dict, n_stages: int = 4):
+    """Partition a zoo ResNet/ResNeXt into heterogeneous pipeline stages.
+
+    The natural cut points are the residual stages (where activations
+    change shape — exactly what pipeline_hetero_apply exists for):
+    4 segments = [stem+maxpool+stage1, stage2, stage3, stage4+pool+fc],
+    grouped contiguously into n_stages (1, 2 or 4). Inference-mode split
+    (train=False, frozen batch_stats — BN stats can't cross stages).
+    Returns (stage_fns, stage_params) for :func:`pipeline_hetero_apply`;
+    each stage_params[i] = {'params': ..., 'batch_stats': ...} subtrees.
+    """
+    import flax.linen as nn
+
+    from ..nn.layers import ConvBN, global_avg_pool
+
+    if 4 % n_stages:
+        raise ValueError(f"n_stages must divide the 4 segments, got {n_stages}")
+    params = variables["params"]
+    batch_stats = variables.get("batch_stats", {})
+
+    def maxpool_op(x):
+        return nn.max_pool(x, (3, 3), (2, 2), ((1, 1), (1, 1)))
+
+    # items: (param_name, module) | ('_op', callable)
+    segments: list[list] = [[
+        ("stem", ConvBN(64, 7, 2, act="relu", dtype=model.dtype)),
+        ("_op", maxpool_op),
+    ], [], [], []]
+    for i, n_blocks in enumerate(model.stage_sizes):
+        for j in range(n_blocks):
+            segments[i].append((
+                f"stage{i + 1}_block{j}",
+                model.block_cls(
+                    64 * 2**i, strides=(2 if (i > 0 and j == 0) else 1),
+                    groups=model.groups, base_width=model.base_width,
+                    dtype=model.dtype),
+            ))
+    if not model.including_top:
+        raise ValueError("pipeline split needs the single-output head "
+                         "(including_top=True); pyramids have 3 outputs")
+    segments[3].append(("_op", global_avg_pool))
+    segments[3].append(("fc", nn.Dense(model.num_classes, dtype=model.dtype)))
+
+    k = 4 // n_stages
+    groups = [sum(segments[i * k:(i + 1) * k], []) for i in range(n_stages)]
+
+    def make_stage_fn(items):
+        def stage(sp, x):
+            for name, mod in items:
+                if name == "_op":
+                    x = mod(x)
+                elif name in sp.get("batch_stats", {}):
+                    x = mod.apply({"params": sp["params"][name],
+                                   "batch_stats": sp["batch_stats"][name]},
+                                  x, train=False)
+                else:  # BN-free module (fc)
+                    x = mod.apply({"params": sp["params"][name]}, x)
+            return x
+
+        return stage
+
+    stage_fns, stage_params = [], []
+    for items in groups:
+        names = [n for n, _ in items if n != "_op"]
+        sp = {"params": {n: params[n] for n in names}}
+        bs = {n: batch_stats[n] for n in names if n in batch_stats}
+        if bs:
+            sp["batch_stats"] = bs
+        stage_fns.append(make_stage_fn(items))
+        stage_params.append(sp)
+    return stage_fns, stage_params
+
+
 def vit_stage_split(model, params: Any, n_stages: int):
     """Partition a ViT's encoder into n_stages pipeline stages.
 
