@@ -135,15 +135,16 @@ def cmd_train(args, overrides):
     train_loader = DetectionLoader(
         train_ds, cfg.data.input_size, cfg.data.batch_size, cfg.data.max_boxes,
         train=True, augmentation=aug, mosaic_prob=0.5, seed=cfg.train.seed,
-        emit=emit, **workers,
+        emit=emit, on_corrupt=cfg.data.on_corrupt, **workers,
     )
     val_loader = DetectionLoader(
         val_ds, cfg.data.input_size, cfg.data.batch_size, cfg.data.max_boxes,
-        train=False, emit=emit, **workers,
+        train=False, emit=emit, **workers,  # eval stays strict (on_corrupt)
     )
     no_aug_loader = DetectionLoader(
         train_ds, cfg.data.input_size, cfg.data.batch_size, cfg.data.max_boxes,
-        train=True, seed=cfg.train.seed, emit=emit, **workers,
+        train=True, seed=cfg.train.seed, emit=emit,
+        on_corrupt=cfg.data.on_corrupt, **workers,
     )
 
     loss_obj = YOLOv3Loss(anchors, num_classes=cfg.model.num_classes,
@@ -250,7 +251,8 @@ def _train_faster_rcnn(cfg, args):
     train_loader = DetectionLoader(
         DetectionDataset(cfg.data.data_root, cfg.data.train_dir, cfg.data.cache),
         size, cfg.data.batch_size, cfg.data.max_boxes, train=True,
-        seed=cfg.train.seed, emit=emit, **workers,
+        seed=cfg.train.seed, emit=emit, on_corrupt=cfg.data.on_corrupt,
+        **workers,
     )
     val_loader = DetectionLoader(
         DetectionDataset(cfg.data.data_root, cfg.data.val_dir, cfg.data.cache),
@@ -347,7 +349,8 @@ def cmd_train_cls(args, overrides):
         ClassificationDataset(cfg.data.data_root, cfg.data.train_dir,
                               cfg.data.categories or None),
         size, cfg.data.batch_size,
-        augmentation=Augmentation([HorizontalFlip(p=0.5)]), seed=cfg.train.seed)
+        augmentation=Augmentation([HorizontalFlip(p=0.5)]), seed=cfg.train.seed,
+        on_corrupt=cfg.data.on_corrupt)
     val_loader = ClassificationLoader(
         ClassificationDataset(cfg.data.data_root, cfg.data.val_dir,
                               cfg.data.categories or None),
@@ -424,7 +427,7 @@ def cmd_train_video(args, overrides):
         VideoFolderDataset(cfg.data.data_root, cfg.data.train_dir, cats),
         num_frames=T, size=size, batch_size=cfg.data.batch_size,
         strategy=cfg.data.frame_strategy, seed=cfg.train.seed,
-        num_workers=cfg.data.num_workers)
+        num_workers=cfg.data.num_workers, on_corrupt=cfg.data.on_corrupt)
     val_loader = VideoClipLoader(
         VideoFolderDataset(cfg.data.data_root, cfg.data.val_dir, cats),
         num_frames=T, size=size, batch_size=cfg.data.batch_size,
@@ -611,7 +614,11 @@ def cmd_serve(args, overrides):
                     "representative images instead"
                 ) from e
             _quantize_detector(det, ds)
-    serve(VisionService(det), host=args.host, port=args.port)
+    window = args.batch_window
+    if window != "adaptive":
+        window = float(window)
+    serve(VisionService(det), host=args.host, port=args.port,
+          batch_window_ms=window)
 
 
 def cmd_convert(args, overrides):
@@ -833,6 +840,9 @@ def make_parser() -> argparse.ArgumentParser:
     p.add_argument("--ckpt", default="")
     p.add_argument("--host", default="0.0.0.0")
     p.add_argument("--port", type=int, default=8080)
+    p.add_argument("--batch-window", default="adaptive",
+                   help="micro-batch straggler window in ms, or 'adaptive' "
+                        "(default: wait only while the batch keeps growing)")
     p.add_argument("--int8", action="store_true",
                    help="int8 w8a8 PTQ inference (calibrates on val images)")
     p.add_argument("--calib-dir", default="",

@@ -85,21 +85,36 @@ class VisionService:
 class _MicroBatcher:
     """Aggregates concurrent requests into one compiled-batch device call.
 
-    Requests enqueue; a worker drains up to `max_batch` at a time (waiting
-    up to `window_ms` after the first arrival for stragglers) and runs them
-    through VisionService.predict_many. Each caller blocks on its own event.
-    Replaces the per-request `_inference` of the ModelArts host with a
-    batching layer that keeps the fixed-batch jitted program full.
+    Requests enqueue; a worker drains up to `max_batch` at a time and runs
+    them through VisionService.predict_many. Each caller blocks on its own
+    event. Replaces the per-request `_inference` of the ModelArts host with
+    a batching layer that keeps the fixed-batch jitted program full.
+
+    Window policies (how long to wait for stragglers after the first
+    arrival):
+      - fixed (window_ms = float): wait up to that long. A lone request
+        always pays the full window; the right value depends on queue
+        depth (docs/PERF.md: 5 ms wins p50 at low concurrency, 20 ms wins
+        throughput at conc 8 once batch_buckets make partial batches cheap).
+      - 'adaptive' (default): wait in small quanta and KEEP waiting only
+        while the batch is still growing — one idle quantum flushes. A
+        lone request pays ~one quantum (2 ms); a busy queue keeps filling
+        toward max_batch, capped at `max_window_ms`. Tracks both fixed
+        policies' best cells without tuning.
     """
 
+    QUANTUM = 0.002  # s — idle-flush granularity of the adaptive policy
+
     def __init__(self, service: VisionService, max_batch: int | None = None,
-                 window_ms: float = 5.0):
+                 window_ms: float | str = "adaptive",
+                 max_window_ms: float = 20.0):
         import queue
         import threading
 
         self.service = service
         self.max_batch = max_batch or service.detector.batch_size
-        self.window = window_ms / 1000.0
+        self.adaptive = window_ms == "adaptive"
+        self.window = (max_window_ms if self.adaptive else float(window_ms)) / 1000.0
         self._q: "queue.Queue" = queue.Queue()
         self._thread = threading.Thread(target=self._worker, daemon=True)
         self._thread.start()
@@ -114,20 +129,35 @@ class _MicroBatcher:
             raise slot["error"]
         return slot["result"]
 
-    def _worker(self):
+    def _gather(self, slots: list) -> None:
+        """Fill `slots` up to max_batch according to the window policy."""
         import queue
 
-        while True:
-            slots = [self._q.get()]
-            deadline = time.monotonic() + self.window
+        deadline = time.monotonic() + self.window
+        while len(slots) < self.max_batch:
+            now = time.monotonic()
+            if now >= deadline:
+                return
+            q_deadline = min(now + self.QUANTUM, deadline) if self.adaptive else deadline
+            grew = False
             while len(slots) < self.max_batch:
-                remaining = deadline - time.monotonic()
+                remaining = q_deadline - time.monotonic()
                 if remaining <= 0:
                     break
                 try:
                     slots.append(self._q.get(timeout=remaining))
+                    grew = True
                 except queue.Empty:
                     break
+            if self.adaptive and not grew:
+                return  # an idle quantum: the burst is over, flush now
+            if not self.adaptive:
+                return  # fixed window elapsed (or batch full)
+
+    def _worker(self):
+        while True:
+            slots = [self._q.get()]
+            self._gather(slots)
             try:
                 results = self.service.predict_many([s["payload"] for s in slots])
                 for s, r in zip(slots, results):
@@ -145,7 +175,7 @@ class _MicroBatcher:
 
 
 def serve(service: VisionService, host: str = "0.0.0.0", port: int = 8080,
-          batch_window_ms: float = 5.0):
+          batch_window_ms: float | str = "adaptive"):
     """Run the service behind a THREADED stdlib HTTP server (blocking).
 
     Concurrent POST /predict requests are micro-batched into one device
@@ -159,7 +189,7 @@ def serve(service: VisionService, host: str = "0.0.0.0", port: int = 8080,
 
 
 def make_server(service: VisionService, host: str = "127.0.0.1",
-                port: int = 8080, batch_window_ms: float = 5.0):
+                port: int = 8080, batch_window_ms: float | str = "adaptive"):
     """Build (but don't start) the HTTP server — separable for tests."""
     from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 

@@ -117,11 +117,19 @@ def test_serve_http_roundtrip(detector, rng):
     t.start()
     import time
 
-    time.sleep(0.3)
     img = rng.integers(0, 255, (64, 64, 3)).astype(np.uint8)
     ok, buf = cv2.imencode(".jpg", img)
-    conn = http.client.HTTPConnection("127.0.0.1", port, timeout=30)
-    conn.request("POST", "/predict", body=buf.tobytes())
+    # serve() warms the compiled buckets before listening — poll the port
+    deadline = time.monotonic() + 120
+    while True:
+        try:
+            conn = http.client.HTTPConnection("127.0.0.1", port, timeout=30)
+            conn.request("POST", "/predict", body=buf.tobytes())
+            break
+        except ConnectionRefusedError:
+            conn.close()
+            assert time.monotonic() < deadline, "server never came up"
+            time.sleep(0.25)
     resp = conn.getresponse()
     assert resp.status == 200
     data = json.loads(resp.read())
@@ -548,3 +556,52 @@ def test_predict_stream_chunked_ndjson(detector, rng):
             assert line == svc.predict(buf)
     finally:
         server.shutdown()
+
+
+def test_microbatcher_adaptive_policy():
+    """Adaptive window: a lone request flushes after one idle quantum
+    (batch of 1, no fixed-window wait); a burst arriving while the device
+    is busy drains into few large batches."""
+    import time
+
+    from fastvision_tpu.infer.serving import _MicroBatcher
+
+    calls = []
+
+    class FakeService:
+        class detector:
+            batch_size = 8
+
+        def predict_many(self, payloads):
+            calls.append(len(payloads))
+            time.sleep(0.05)  # "device busy": the burst queues behind this
+            return [{"n": int(p)} for p in payloads]
+
+        def predict(self, payload):
+            return self.predict_many([payload])[0]
+
+    b = _MicroBatcher(FakeService(), window_ms="adaptive")
+    assert b.adaptive and b.max_batch == 8
+
+    # lone request: exactly one size-1 device call, latency ~ quantum + work
+    t0 = time.perf_counter()
+    assert b.predict(b"1") == {"n": 1}
+    assert time.perf_counter() - t0 < 1.0
+    assert calls == [1]
+
+    # burst of 8: while call 2 runs its 50 ms, the rest enqueue; the
+    # adaptive gather then drains them without waiting out a fixed window
+    calls.clear()
+    results = [None] * 8
+    threads = [
+        threading.Thread(target=lambda i=i: results.__setitem__(i, b.predict(str(i).encode())))
+        for i in range(8)
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=30)
+    assert results == [{"n": i} for i in range(8)]
+    assert sum(calls) == 8
+    assert len(calls) <= 4  # batched, not 8 per-request calls
+    assert max(calls) >= 4  # and at least one genuinely large batch

@@ -89,7 +89,8 @@ def main():
     payload = cv2.imencode(".jpg", img, [cv2.IMWRITE_JPEG_QUALITY, 90])[1].tobytes()
 
     results = {}
-    for window_ms, tag in ((0.0, "window0"), (5.0, "window5"), (20.0, "window20")):
+    for window_ms, tag in ((0.0, "window0"), (5.0, "window5"), (20.0, "window20"),
+                           ("adaptive", "adaptive")):
         # same bucket set cmd_serve uses: lone requests ride a bs1 program
         det = Detector(model, variables, anchors, input_size=S, batch_size=8,
                        dtype=jnp.bfloat16, batch_buckets=(1, 2, 4))
