@@ -106,6 +106,11 @@ class DataConfig:
     # strategy (data/video_sampler.py: consecutive|random|average|clip_random)
     num_frames: int = 16
     frame_strategy: str = "average"
+    # corrupt-file policy for TRAIN loaders: 'skip' substitutes the next
+    # index with a warning (one bad file must not kill a long run);
+    # 'raise' fails fast. Val/eval loaders always raise — silently
+    # dropping images would corrupt metrics.
+    on_corrupt: str = "skip"
 
 
 @dataclass

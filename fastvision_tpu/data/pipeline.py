@@ -60,6 +60,36 @@ def normalize_images(
     return x
 
 
+def fetch_with_corrupt_policy(ds, on_corrupt: str, fn, idx: int):
+    """Run per-sample work `fn(index)` under a corrupt-file policy:
+    'raise' passes errors through; 'skip' substitutes the next dataset
+    index (deterministic, up to 8 tries) with a warning. Decode-class
+    failures only (OSError incl. FileNotFoundError, ValueError) —
+    anything else is a bug and always raises."""
+    if on_corrupt == "raise":
+        return fn(int(idx))
+    import warnings
+
+    n = len(ds)
+    last: Exception | None = None
+    for k in range(min(8, n)):
+        j = (int(idx) + k) % n
+        try:
+            out = fn(j)
+            if k:
+                warnings.warn(
+                    f"skipped {k} corrupt sample(s) starting at dataset "
+                    f"index {int(idx)} ({last}); substituted index {j}",
+                    stacklevel=2,
+                )
+            return out
+        except (OSError, ValueError) as e:
+            last = e
+    raise RuntimeError(
+        f"{min(8, n)} consecutive corrupt samples from index {int(idx)}"
+    ) from last
+
+
 class DetectionLoader:
     """Batches of letterboxed images + padded normalized-xywh labels.
 
@@ -104,6 +134,12 @@ class DetectionLoader:
         # (train=False, no augmentation/mosaic) when the dataset exposes
         # sample_i420 and the native lib built. False forces the cv2 path.
         native_jpeg: bool | None = None,
+        # 'raise' (default): a corrupt/undecodable file kills the epoch —
+        # right for eval (silently dropping images corrupts metrics).
+        # 'skip': substitute the next dataset index (up to 8 tries) with a
+        # warning — right for long training runs where one bad file must
+        # not kill days of work (the reference's torch loader crashes).
+        on_corrupt: str = "raise",
     ):
         self.ds = dataset
         self.input_size = input_size
@@ -159,6 +195,9 @@ class DetectionLoader:
                 "augmentation/mosaic, and a dataset with sample_i420"
             )
         self.native_jpeg = native_jpeg
+        if on_corrupt not in ("raise", "skip"):
+            raise ValueError(f"on_corrupt must be 'raise' or 'skip', got {on_corrupt!r}")
+        self.on_corrupt = on_corrupt
         self._pool = None
         self._decode_pool = None
         self._decode_pool_shape = None
@@ -171,16 +210,19 @@ class DetectionLoader:
         n = len(self.ds)
         return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
 
+    def _fetch(self, fn, idx: int):
+        return fetch_with_corrupt_policy(self.ds, self.on_corrupt, fn, idx)
+
     def _load_raw(self, idx: int, rng: np.random.Generator):
         """Decode + mosaic + augment one sample; labels stay pixel xyxy.
 
         `rng` is per-sample (seeded from (seed, epoch, position)) so results
         are deterministic regardless of worker threading."""
-        image, labels, sid = self.ds[idx]
+        image, labels, sid = self._fetch(self.ds.__getitem__, idx)
         if self.train and self.mosaic_prob > 0 and rng.uniform() < self.mosaic_prob:
             others = rng.integers(0, len(self.ds), 3)
             samples = [(image, labels)] + [
-                (self.ds[int(j)][0], self.ds[int(j)][1]) for j in others
+                self._fetch(lambda j: self.ds[j][:2], int(j)) for j in others
             ]
             image, labels = mosaic4(samples, self.input_size, rng, self.pad_value)
         if self.train and self.augmentation is not None:
@@ -203,6 +245,9 @@ class DetectionLoader:
         packed I420 in one C++ pass (native/jpeg_i420.cpp), cv2-chain
         fallback per image for non-JPEG / exotic files. Returns
         (packed uint8 [S*3/2, S], (padded_labels, meta))."""
+        return self._fetch(self._sample_i420_one, idx)
+
+    def _sample_i420_one(self, idx: int):
         r = self.ds.sample_i420(int(idx), self.input_size, self.pad_value)
         if r is not None:
             packed, lab, sid, scale, (px, py), dhw = r
@@ -403,13 +448,20 @@ class ClassificationLoader:
     """Simple classification batches: images [B,S,S,3] uint8, labels [B]."""
 
     def __init__(self, dataset, input_size=224, batch_size=32, train=True,
-                 augmentation: Augmentation | None = None, seed=0):
+                 augmentation: Augmentation | None = None, seed=0,
+                 on_corrupt: str = "raise"):
         self.ds = dataset
         self.input_size = input_size
         self.batch_size = batch_size
         self.train = train
         self.augmentation = augmentation
         self.seed = seed
+        if on_corrupt not in ("raise", "skip"):
+            raise ValueError(f"on_corrupt must be 'raise' or 'skip', got {on_corrupt!r}")
+        self.on_corrupt = on_corrupt
+
+    def _fetch(self, fn, idx: int):
+        return fetch_with_corrupt_policy(self.ds, self.on_corrupt, fn, idx)
 
     def __len__(self):
         return len(self.ds) // self.batch_size if self.train else -(-len(self.ds) // self.batch_size)
@@ -423,7 +475,7 @@ class ClassificationLoader:
             idxs = order[b * self.batch_size : (b + 1) * self.batch_size]
             images, labels = [], []
             for i in idxs:
-                img, lab = self.ds[int(i)]
+                img, lab = self._fetch(self.ds.__getitem__, int(i))
                 if self.train and self.augmentation is not None:
                     img, _ = self.augmentation(img, None, rng)
                 img = cv2.resize(img, (self.input_size, self.input_size))

@@ -76,10 +76,15 @@ class VideoFolderDataset:
             frames = sorted(
                 f for f in os.listdir(path) if f.lower().endswith(IMG_EXTS)
             )
+            if not frames:
+                raise ValueError(f"frame directory has no images: {path}")
             take = sample_indices(len(frames), num_frames, strategy, rng)
             clip = []
             for i in take:
-                img = cv2.imread(os.path.join(path, frames[int(i)]))
+                fp = os.path.join(path, frames[int(i)])
+                img = cv2.imread(fp)
+                if img is None:  # corrupt frame — fail loudly, never a
+                    raise ValueError(f"cannot decode frame: {fp}")  # black clip
                 img = cv2.cvtColor(img, cv2.COLOR_BGR2RGB)
                 clip.append(cv2.resize(img, (size, size)))
             return np.stack(clip), label
@@ -105,6 +110,9 @@ class VideoClipLoader:
         train: bool = True,
         seed: int = 0,
         num_workers: int = 0,
+        # 'skip' substitutes the next clip index on decode failure (see
+        # DetectionLoader.on_corrupt); 'raise' (default) fails fast
+        on_corrupt: str = "raise",
     ):
         self.ds = dataset
         self.num_frames = num_frames
@@ -113,6 +121,9 @@ class VideoClipLoader:
         self.strategy = strategy
         self.train = train
         self.seed = seed
+        if on_corrupt not in ("raise", "skip"):
+            raise ValueError(f"on_corrupt must be 'raise' or 'skip', got {on_corrupt!r}")
+        self.on_corrupt = on_corrupt
         self._pool = None
         if num_workers and num_workers > 1:
             from concurrent.futures import ThreadPoolExecutor
@@ -131,8 +142,14 @@ class VideoClipLoader:
         def load(pos_idx):
             pos, i = pos_idx
             sample_rng = np.random.default_rng((self.seed, epoch_idx, pos))
-            return self.ds.load_clip(int(i), self.num_frames, self.strategy,
-                                     self.size, sample_rng)
+            from .pipeline import fetch_with_corrupt_policy
+
+            return fetch_with_corrupt_policy(
+                self.ds, self.on_corrupt,
+                lambda j: self.ds.load_clip(j, self.num_frames, self.strategy,
+                                            self.size, sample_rng),
+                int(i),
+            )
 
         for b in range(len(self)):
             idxs = order[b * self.batch_size : (b + 1) * self.batch_size]

@@ -80,6 +80,9 @@ def load_clip(
     cap = cv2.VideoCapture(path)
     if total is None:
         total = int(cap.get(cv2.CAP_PROP_FRAME_COUNT))
+    if total <= 0:
+        cap.release()
+        raise ValueError(f"cannot decode video (no frames): {path}")
     idx = sample_indices(total, num_frames, strategy, rng)
     frames = []
     last = None
@@ -87,7 +90,14 @@ def load_clip(
         cap.set(cv2.CAP_PROP_POS_FRAMES, int(i))
         ok, frame = cap.read()
         if not ok:
-            frame = last if last is not None else np.zeros((64, 64, 3), np.uint8)
+            # headers over-count frames routinely (count_real_frames exists
+            # for that) — repeat the last good frame. But if NOTHING ever
+            # decoded this is a corrupt file, and a silent black clip would
+            # poison training: raise instead.
+            if last is None:
+                cap.release()
+                raise ValueError(f"cannot decode video: {path}")
+            frame = last
         frame = cv2.cvtColor(frame, cv2.COLOR_BGR2RGB)
         if size is not None:
             frame = cv2.resize(frame, (size, size))

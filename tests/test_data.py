@@ -261,3 +261,85 @@ def test_prefetch_early_break_stops_worker():
         time.sleep(0.05)
     assert threading.active_count() <= before
     assert len(produced) < 100  # worker stopped long before exhaustion
+
+
+@pytest.fixture()
+def corrupt_dataset(tmp_path):
+    """6 images, one of them (index order position 2, 'im2') garbage bytes."""
+    import cv2
+
+    root = tmp_path / "corrupt"
+    rng = np.random.default_rng(3)
+    os.makedirs(root / "train" / "images")
+    os.makedirs(root / "train" / "labels")
+    for i in range(6):
+        p = root / "train" / "images" / f"im{i}.jpg"
+        if i == 2:
+            p.write_bytes(b"\xff\xd8\xff not actually a jpeg")
+        else:
+            cv2.imwrite(str(p), rng.integers(0, 255, (60, 80, 3), np.uint8))
+        (root / "train" / "labels" / f"im{i}.txt").write_text("0 5 5 30 30\n")
+    return str(root)
+
+
+def test_loader_corrupt_raises_by_default(corrupt_dataset):
+    ds = DetectionDataset(corrupt_dataset, "train")
+    loader = DetectionLoader(ds, input_size=64, batch_size=3, max_boxes=4,
+                             train=False, drop_last=False)
+    with pytest.raises(FileNotFoundError, match="cannot decode"):
+        list(loader.epoch(0))
+
+
+def test_loader_on_corrupt_skip_substitutes_next(corrupt_dataset):
+    """on_corrupt='skip': the epoch completes, the bad sample is replaced
+    by the NEXT dataset index (deterministic), and a warning names it."""
+    ds = DetectionDataset(corrupt_dataset, "train")
+    loader = DetectionLoader(ds, input_size=64, batch_size=3, max_boxes=4,
+                             train=False, drop_last=False, on_corrupt="skip")
+    with pytest.warns(UserWarning, match="corrupt"):
+        batches = list(loader.epoch(0))
+    ids = [m["id"] for b in batches for m in b["meta"]]
+    assert len(ids) == 6
+    assert ids == ["im0", "im1", "im3", "im3", "im4", "im5"]  # im2 -> im3
+
+
+def test_loader_on_corrupt_skip_process_backend(corrupt_dataset):
+    """The policy applies inside DecodePool workers too (the exception
+    must be handled in the worker, not crash the ring)."""
+    ds = DetectionDataset(corrupt_dataset, "train")
+    loader = DetectionLoader(ds, input_size=64, batch_size=3, max_boxes=4,
+                             train=False, drop_last=False, on_corrupt="skip",
+                             num_workers=2, worker_backend="process")
+    try:
+        batches = list(loader.epoch(0))
+    finally:
+        if loader._decode_pool is not None:
+            loader._decode_pool.close()
+    ids = [m["id"] for b in batches for m in b["meta"]]
+    assert ids == ["im0", "im1", "im3", "im3", "im4", "im5"]
+
+
+def test_classification_loader_on_corrupt_skip(tmp_path):
+    import cv2
+
+    from fastvision_tpu.data import ClassificationDataset, ClassificationLoader
+
+    rng = np.random.default_rng(0)
+    for ci, name in enumerate(("a", "b")):
+        d = tmp_path / "train" / name
+        os.makedirs(d)
+        for i in range(3):
+            p = d / f"{i}.jpg"
+            if name == "a" and i == 1:
+                p.write_bytes(b"garbage")
+            else:
+                cv2.imwrite(str(p), rng.integers(0, 255, (32, 32, 3), np.uint8))
+    ds = ClassificationDataset(str(tmp_path), "train")
+    strict = ClassificationLoader(ds, input_size=32, batch_size=2, train=False)
+    with pytest.raises(FileNotFoundError):
+        list(strict.epoch(0))
+    lax = ClassificationLoader(ds, input_size=32, batch_size=2, train=False,
+                               on_corrupt="skip")
+    with pytest.warns(UserWarning, match="corrupt"):
+        batches = list(lax.epoch(0))
+    assert sum(b["num_real"] for b in batches) == 6

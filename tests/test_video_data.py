@@ -115,3 +115,38 @@ def test_cli_train_video_unknown_model(video_root, tmp_path):
             "train-video", f"data.data_root={video_root}",
             "model.backbone=nope", f"train.ckpt_dir={tmp_path}",
         ])
+
+
+def test_video_corrupt_clip_raises_then_skips(tmp_path):
+    """A corrupt video must raise (never a silent black clip); the loader's
+    on_corrupt='skip' substitutes the next clip instead."""
+    import cv2
+
+    from fastvision_tpu.data import VideoClipLoader, VideoFolderDataset
+
+    rng = np.random.default_rng(1)
+    d = tmp_path / "train" / "x"
+    os.makedirs(d)
+    for i in range(3):
+        p = d / f"{i}.avi"
+        if i == 1:
+            p.write_bytes(b"not a video at all")
+        else:
+            w = cv2.VideoWriter(str(p), cv2.VideoWriter_fourcc(*"MJPG"),
+                                10, (32, 32))
+            for _ in range(6):
+                w.write(rng.integers(0, 255, (32, 32, 3), np.uint8))
+            w.release()
+    ds = VideoFolderDataset(str(tmp_path), "train")
+    with pytest.raises(ValueError, match="cannot decode video"):
+        ds.load_clip(1, 4, "average", 32, np.random.default_rng(0))
+
+    strict = VideoClipLoader(ds, num_frames=4, size=32, batch_size=3,
+                             train=False)
+    with pytest.raises(ValueError, match="cannot decode video"):
+        list(strict.epoch(0))
+    lax = VideoClipLoader(ds, num_frames=4, size=32, batch_size=3,
+                          train=False, on_corrupt="skip")
+    with pytest.warns(UserWarning, match="corrupt"):
+        batches = list(lax.epoch(0))
+    assert batches[0]["images"].shape == (3, 4, 32, 32, 3)
