@@ -394,6 +394,7 @@ def cmd_train_video(args, overrides):
         classification_evaluator,
         cross_entropy,
         make_eval_step,
+        video_multiclip_evaluator,
         warmup_cosine_lr,
     )
 
@@ -440,7 +441,12 @@ def cmd_train_video(args, overrides):
         schedule=warmup_cosine_lr(cfg.train.lr, cfg.train.final_lr, steps,
                                   warmup_steps=cfg.train.warmup_epochs
                                   * max(len(train_loader), 1)),
-        evaluator=classification_evaluator(make_eval_step(apply_fn), mesh=mesh),
+        evaluator=(
+            video_multiclip_evaluator(make_eval_step(apply_fn),
+                                      n_clips=cfg.data.eval_clips, mesh=mesh)
+            if cfg.data.eval_clips > 1
+            else classification_evaluator(make_eval_step(apply_fn), mesh=mesh)
+        ),
         ckpt_dir=cfg.train.ckpt_dir,
         logger=MetricLogger(cfg.train.ckpt_dir),
         resume=args.resume,

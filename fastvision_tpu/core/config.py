@@ -111,6 +111,10 @@ class DataConfig:
     # 'raise' fails fast. Val/eval loaders always raise — silently
     # dropping images would corrupt metrics.
     on_corrupt: str = "skip"
+    # video eval protocol: >1 = Kinetics-style N evenly spaced temporal
+    # clips per video, logits averaged (train/fit.py::
+    # video_multiclip_evaluator); 1 = single sampled clip
+    eval_clips: int = 1
 
 
 @dataclass

@@ -60,6 +60,20 @@ class VideoFolderDataset:
     def __len__(self) -> int:
         return len(self.samples)
 
+    def clip_length(self, idx: int) -> int:
+        """Total frames of clip `idx` (frame-dir file count or the video
+        header's count — good enough for window PLACEMENT; reads clamp)."""
+        path, _ = self.samples[idx]
+        if os.path.isdir(path):
+            return len([f for f in os.listdir(path)
+                        if f.lower().endswith(IMG_EXTS)])
+        import cv2
+
+        cap = cv2.VideoCapture(path)
+        n = int(cap.get(cv2.CAP_PROP_FRAME_COUNT))
+        cap.release()
+        return n
+
     def load_clip(
         self,
         idx: int,
@@ -67,8 +81,13 @@ class VideoFolderDataset:
         strategy: str,
         size: int,
         rng: np.random.Generator,
+        indices: np.ndarray | None = None,
     ) -> tuple[np.ndarray, int]:
-        """-> ([T, size, size, 3] uint8 RGB clip, class index)."""
+        """-> ([T, size, size, 3] uint8 RGB clip, class index).
+
+        `indices` overrides the sampling strategy with explicit frame
+        positions (clamped to the clip length) — the multi-clip eval
+        protocol uses this for evenly spaced deterministic windows."""
         import cv2
 
         path, label = self.samples[idx]
@@ -78,7 +97,8 @@ class VideoFolderDataset:
             )
             if not frames:
                 raise ValueError(f"frame directory has no images: {path}")
-            take = sample_indices(len(frames), num_frames, strategy, rng)
+            take = (np.clip(indices, 0, len(frames) - 1) if indices is not None
+                    else sample_indices(len(frames), num_frames, strategy, rng))
             clip = []
             for i in take:
                 fp = os.path.join(path, frames[int(i)])
@@ -88,7 +108,8 @@ class VideoFolderDataset:
                 img = cv2.cvtColor(img, cv2.COLOR_BGR2RGB)
                 clip.append(cv2.resize(img, (size, size)))
             return np.stack(clip), label
-        return load_clip(path, num_frames, strategy, size, rng), label
+        return load_clip(path, num_frames, strategy, size, rng,
+                         indices=indices), label
 
 
 class VideoClipLoader:

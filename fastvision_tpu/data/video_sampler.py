@@ -72,8 +72,12 @@ def load_clip(
     size: int | None = None,
     rng: np.random.Generator | None = None,
     verify_frames: bool = False,
+    indices: np.ndarray | None = None,
 ) -> np.ndarray:
-    """Decode a [T, H, W, 3] RGB uint8 clip from a video file."""
+    """Decode a [T, H, W, 3] RGB uint8 clip from a video file.
+
+    `indices` overrides `strategy` with explicit frame positions (clamped
+    to the real frame count)."""
     import cv2
 
     total = count_real_frames(path) if verify_frames else None
@@ -83,7 +87,8 @@ def load_clip(
     if total <= 0:
         cap.release()
         raise ValueError(f"cannot decode video (no frames): {path}")
-    idx = sample_indices(total, num_frames, strategy, rng)
+    idx = (np.clip(indices, 0, total - 1) if indices is not None
+           else sample_indices(total, num_frames, strategy, rng))
     frames = []
     last = None
     for i in np.sort(idx):

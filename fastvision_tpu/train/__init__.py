@@ -25,7 +25,12 @@ from .schedulers import (
 )
 from .steps import TrainState, device_batch, make_eval_step, make_train_step
 from .ema import ema_update, make_ema_update
-from .fit import Fit, classification_evaluator, detection_evaluator
+from .fit import (
+    Fit,
+    classification_evaluator,
+    detection_evaluator,
+    video_multiclip_evaluator,
+)
 from .frcnn_steps import (
     labels_to_pixel_xyxy,
     make_frcnn_eval_step,

@@ -382,6 +382,65 @@ def detection_evaluator(
     return evaluate
 
 
+def video_multiclip_evaluator(eval_step: Callable, n_clips: int = 4,
+                              mesh=None) -> Callable:
+    """Kinetics/SlowFast-style test protocol: `n_clips` evenly spaced
+    temporal windows per video, per-video LOGITS averaged before argmax.
+
+    Single-clip eval under-samples long videos (one random window judges
+    the whole clip); the standard protocol covers the timeline and is the
+    number video papers report. The reference has no video eval at all
+    (SURVEY.md §2.3 — models + samplers only). The loader must be a
+    VideoClipLoader(train=False); all (video, window) pairs stream
+    through ONE compiled [bs, T, S, S, 3] program, so the cost is exactly
+    n_clips x single-clip eval."""
+
+    def evaluate(state, loader) -> dict:
+        ds, T, S = loader.ds, loader.num_frames, loader.size
+        bs = loader.batch_size
+        n_videos = len(ds)
+        jobs = [(v, c) for v in range(n_videos) for c in range(n_clips)]
+        logit_sum: dict[int, np.ndarray] = {}
+        labels = np.zeros(n_videos, np.int64)
+
+        def windows(total: int) -> list[np.ndarray]:
+            if total <= T:
+                return [np.clip(np.arange(T), 0, max(total - 1, 0))] * n_clips
+            starts = np.round(
+                np.linspace(0, total - T, n_clips)).astype(np.int64)
+            return [s + np.arange(T) for s in starts]
+
+        win_cache: dict[int, list[np.ndarray]] = {}
+        for b0 in range(0, len(jobs), bs):
+            chunk = jobs[b0 : b0 + bs]
+            clips = []
+            for v, c in chunk:
+                if v not in win_cache:
+                    win_cache[v] = windows(ds.clip_length(v))
+                clip, lab = ds.load_clip(v, T, "consecutive", S,
+                                         np.random.default_rng(0),
+                                         indices=win_cache[v][c])
+                labels[v] = lab
+                clips.append(clip)
+            real = len(clips)
+            while len(clips) < bs:  # ragged tail: repeat, ignore below
+                clips.append(clips[-1])
+            batch = {"images": np.stack(clips)}
+            if mesh is not None:
+                from ..core.mesh import shard_batch
+
+                batch = shard_batch(batch, mesh)
+            logits = np.asarray(jax.device_get(eval_step(state, batch)),
+                                np.float32)
+            for (v, _c), lg in zip(chunk, logits[:real]):
+                logit_sum[v] = logit_sum.get(v, 0.0) + lg
+        pred = np.array([np.argmax(logit_sum[v]) for v in range(n_videos)])
+        return {"accuracy": float((pred == labels).mean()),
+                "n_clips": n_clips}
+
+    return evaluate
+
+
 def classification_evaluator(eval_step: Callable, mesh=None) -> Callable:
     """evaluator(state, loader) -> {'accuracy'} (ref metrics/accuracy.py:3)."""
 

@@ -150,3 +150,45 @@ def test_video_corrupt_clip_raises_then_skips(tmp_path):
     with pytest.warns(UserWarning, match="corrupt"):
         batches = list(lax.epoch(0))
     assert batches[0]["images"].shape == (3, 4, 32, 32, 3)
+
+
+def test_video_multiclip_evaluator_windows_and_accuracy(tmp_path):
+    """Kinetics-style protocol: n_clips evenly spaced windows per video,
+    logits summed per video. Frame values encode the frame index, so the
+    windows the evaluator actually read are observable in the fake
+    eval_step's inputs."""
+    import cv2
+
+    from fastvision_tpu.data import VideoClipLoader, VideoFolderDataset
+    from fastvision_tpu.train import video_multiclip_evaluator
+
+    # two frame-dir clips of 12 frames; 'bright' frames get +128
+    for cname, base in (("a_dark", 0), ("b_bright", 128)):
+        d = tmp_path / "val" / cname / "clip0"
+        os.makedirs(d)
+        for t in range(12):
+            cv2.imwrite(str(d / f"f{t:02d}.jpg"),
+                        np.full((16, 16, 3), base + 10 * t, np.uint8))
+    ds = VideoFolderDataset(str(tmp_path), "val")
+    assert ds.classes == ["a_dark", "b_bright"]
+    loader = VideoClipLoader(ds, num_frames=4, size=16, batch_size=3,
+                             train=False)
+
+    seen_means = []
+
+    def fake_eval_step(state, batch):
+        m = batch["images"].astype(np.float32).mean(axis=(1, 2, 3, 4))
+        seen_means.extend(m.tolist())
+        # bright -> class 1, dark -> class 0 (threshold between the two)
+        return np.stack([120 - m, m - 120], axis=-1)
+
+    evaluate = video_multiclip_evaluator(fake_eval_step, n_clips=3)
+    res = evaluate(None, loader)
+    assert res["accuracy"] == 1.0 and res["n_clips"] == 3
+    # 2 videos x 3 clips = 6 jobs in 2 batches of 3 (means include padding)
+    assert len(seen_means) == 6
+    # video 0's three windows cover frames [0-3],[4-7],[8-11]: JPEG-coded
+    # means must be strictly increasing and ~40 apart
+    w = seen_means[:3]
+    assert w[0] < w[1] < w[2]
+    assert 25 < w[1] - w[0] < 55 and 25 < w[2] - w[1] < 55
