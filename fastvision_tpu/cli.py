@@ -428,12 +428,15 @@ def cmd_train_video(args, overrides):
         VideoFolderDataset(cfg.data.data_root, cfg.data.train_dir, cats),
         num_frames=T, size=size, batch_size=cfg.data.batch_size,
         strategy=cfg.data.frame_strategy, seed=cfg.train.seed,
-        num_workers=cfg.data.num_workers, on_corrupt=cfg.data.on_corrupt)
+        num_workers=cfg.data.num_workers,
+        worker_backend=cfg.data.worker_backend,
+        on_corrupt=cfg.data.on_corrupt)
     val_loader = VideoClipLoader(
         VideoFolderDataset(cfg.data.data_root, cfg.data.val_dir, cats),
         num_frames=T, size=size, batch_size=cfg.data.batch_size,
         strategy=cfg.data.frame_strategy, train=False,
-        num_workers=cfg.data.num_workers)
+        num_workers=cfg.data.num_workers,
+        worker_backend=cfg.data.worker_backend)
     steps = cfg.train.epochs * max(len(train_loader), 1)
     fit = Fit(
         apply_fn, loss_fn, tx, variables, train_loader, val_loader,

@@ -131,6 +131,12 @@ class VideoClipLoader:
         train: bool = True,
         seed: int = 0,
         num_workers: int = 0,
+        # 'thread' (default): cv2 video decode releases the GIL, but clip
+        # assembly + frame seeks serialize in Python. 'process' (optionally
+        # ':fork|forkserver|spawn', same semantics as DetectionLoader):
+        # DecodePool worker processes + shared-memory [T,S,S,3] slots —
+        # everything scales with cores on many-core TPU-VM hosts.
+        worker_backend: str = "thread",
         # 'skip' substitutes the next clip index on decode failure (see
         # DetectionLoader.on_corrupt); 'raise' (default) fails fast
         on_corrupt: str = "raise",
@@ -142,14 +148,87 @@ class VideoClipLoader:
         self.strategy = strategy
         self.train = train
         self.seed = seed
+        backend, _, start = worker_backend.partition(":")
+        if backend not in ("thread", "process") or (
+            start and (backend != "process"
+                       or start not in ("fork", "forkserver", "spawn"))
+        ):
+            raise ValueError(
+                "worker_backend must be 'thread', 'process', or "
+                f"'process:fork|forkserver|spawn', got {worker_backend!r}"
+            )
+        self.worker_backend = backend
+        self.worker_start_method = start or None
+        self.num_workers = num_workers
         if on_corrupt not in ("raise", "skip"):
             raise ValueError(f"on_corrupt must be 'raise' or 'skip', got {on_corrupt!r}")
         self.on_corrupt = on_corrupt
         self._pool = None
-        if num_workers and num_workers > 1:
+        self._decode_pool = None
+        if num_workers and num_workers > 1 and backend == "thread":
             from concurrent.futures import ThreadPoolExecutor
 
             self._pool = ThreadPoolExecutor(max_workers=num_workers)
+
+    def __getstate__(self):
+        # process workers pickle this loader via the work fn: strip live pools
+        state = self.__dict__.copy()
+        state["_pool"] = None
+        state["_decode_pool"] = None
+        return state
+
+    def _clip_work(self, item):
+        """Per-clip host work, runnable inside a DecodePool worker:
+        (clip uint8 [T,S,S,3], label) under the corrupt policy."""
+        pos, idx, epoch_idx = item
+        sample_rng = np.random.default_rng((self.seed, epoch_idx, pos))
+        from .pipeline import fetch_with_corrupt_policy
+
+        return fetch_with_corrupt_policy(
+            self.ds, self.on_corrupt,
+            lambda j: self.ds.load_clip(j, self.num_frames, self.strategy,
+                                        self.size, sample_rng),
+            int(idx),
+        )
+
+    def _epoch_process(self, epoch_idx: int, order: np.ndarray):
+        if self._decode_pool is None:
+            import sys
+
+            from .decode_pool import DecodePool
+
+            start = self.worker_start_method or (
+                "forkserver" if "jax" in sys.modules else "fork"
+            )
+            self._decode_pool = DecodePool(
+                self._clip_work, self.num_workers,
+                (self.num_frames, self.size, self.size, 3),
+                n_slots=max(4 * self.num_workers, 2 * self.batch_size),
+                start_method=start,
+            )
+        n = (len(self) * self.batch_size if self.train else len(order))
+        items = ((pos, order[pos], epoch_idx) for pos in range(min(n, len(order))))
+        batch = np.empty(
+            (self.batch_size, self.num_frames, self.size, self.size, 3),
+            np.uint8)
+        labels, i = [], 0
+        for view, label in self._decode_pool.imap(items):
+            batch[i] = view
+            labels.append(label)
+            i += 1
+            if i == self.batch_size:
+                yield {"images": batch.copy(),
+                       "labels": np.asarray(labels, np.int32),
+                       "num_real": i}
+                labels, i = [], 0
+        if i and not self.train:  # ragged last eval batch
+            real = i
+            while i < self.batch_size:
+                batch[i] = batch[real - 1]
+                labels.append(labels[-1])
+                i += 1
+            yield {"images": batch.copy(),
+                   "labels": np.asarray(labels, np.int32), "num_real": real}
 
     def __len__(self) -> int:
         n = len(self.ds)
@@ -159,6 +238,9 @@ class VideoClipLoader:
         rng = np.random.default_rng((self.seed, epoch_idx))
         order = (rng.permutation(len(self.ds)) if self.train
                  else np.arange(len(self.ds)))
+        if self.num_workers > 1 and self.worker_backend == "process":
+            yield from self._epoch_process(epoch_idx, order)
+            return
 
         def load(pos_idx):
             pos, i = pos_idx

@@ -192,3 +192,27 @@ def test_video_multiclip_evaluator_windows_and_accuracy(tmp_path):
     w = seen_means[:3]
     assert w[0] < w[1] < w[2]
     assert 25 < w[1] - w[0] < 55 and 25 < w[2] - w[1] < 55
+
+
+def test_video_clip_loader_process_backend_identical(video_root):
+    """Process-backed clip loading (DecodePool shared-memory ring) must
+    produce byte-identical batches to the serial path — same contract as
+    DetectionLoader's backends."""
+    from fastvision_tpu.data import VideoClipLoader, VideoFolderDataset
+
+    ds = VideoFolderDataset(video_root, "train")
+    kw = dict(num_frames=4, size=32, batch_size=4, train=True, seed=7)
+    serial = VideoClipLoader(ds, **kw)
+    proc = VideoClipLoader(ds, num_workers=2,
+                           worker_backend="process:forkserver", **kw)
+    try:
+        a = list(serial.epoch(1))
+        b = list(proc.epoch(1))
+    finally:
+        if proc._decode_pool is not None:
+            proc._decode_pool.close()
+    assert len(a) == len(b) > 0
+    for x, y in zip(a, b):
+        np.testing.assert_array_equal(x["images"], y["images"])
+        np.testing.assert_array_equal(x["labels"], y["labels"])
+        assert x["num_real"] == y["num_real"]
