@@ -461,6 +461,26 @@ def cmd_train_video(args, overrides):
     fit.run()
 
 
+def _restore_variables(ckpt: str, variables: dict) -> dict:
+    """Load a run checkpoint for inference: EMA weights when the run
+    trained with EMA, else raw params; batch_stats when present."""
+    from .core.checkpoint import CheckpointManager
+
+    mgr = CheckpointManager(ckpt)
+    like = {"params": variables["params"]}
+    if variables.get("batch_stats"):
+        like["batch_stats"] = variables["batch_stats"]
+    like["ema_params"] = variables["params"]
+    restored = mgr.restore(like=like)
+    variables = dict(variables)
+    variables["params"] = restored["state"].get(
+        "ema_params", restored["state"]["params"]
+    )
+    if "batch_stats" in restored["state"]:
+        variables["batch_stats"] = restored["state"]["batch_stats"]
+    return variables
+
+
 def _detector_from_cfg(cfg, ckpt: str | None, fast_decode: bool = False,
                        batch_buckets=()):
     import jax
@@ -470,21 +490,7 @@ def _detector_from_cfg(cfg, ckpt: str | None, fast_decode: bool = False,
 
     model, variables, anchors = _build_detection(cfg, train=False)
     if ckpt:
-        from .core.checkpoint import CheckpointManager
-
-        mgr = CheckpointManager(ckpt)
-        like = {"params": variables["params"]}
-        if variables.get("batch_stats"):
-            like["batch_stats"] = variables["batch_stats"]
-        # prefer the EMA weights for inference when the run trained with EMA
-        like["ema_params"] = variables["params"]
-        restored = mgr.restore(like=like)
-        variables = dict(variables)
-        variables["params"] = restored["state"].get(
-            "ema_params", restored["state"]["params"]
-        )
-        if "batch_stats" in restored["state"]:
-            variables["batch_stats"] = restored["state"]["batch_stats"]
+        variables = _restore_variables(ckpt, variables)
     return Detector(
         model, variables, anchors, input_size=cfg.data.input_size,
         conf_thres=cfg.nms.conf_thres, iou_thres=cfg.nms.iou_thres,
@@ -664,6 +670,68 @@ def cmd_anchors(args, overrides):
         print(f"  {w:.1f} {h:.1f}")
 
 
+def _export_classifier(cfg, args, tflite: bool, stablehlo: bool):
+    """Export a classification/video-recognition program (normalize +
+    forward + softmax, uint8 in) — same artifact formats as the detector
+    path; --task picks the zoo."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from .data import normalize_images
+
+    if args.task == "video":
+        from .models import video as zoo
+
+        S, T = cfg.data.input_size, cfg.data.num_frames
+        in_shape = (args.batch, T, S, S, 3)
+    else:
+        from .models import classification as zoo
+
+        S = cfg.data.input_size
+        in_shape = (args.batch, S, S, 3)
+    factory = getattr(zoo, cfg.model.backbone, None)
+    if factory is None:
+        raise SystemExit(
+            f"unknown {args.task} model {cfg.model.backbone!r} "
+            f"(available: {[n for n in dir(zoo) if not n.startswith('_')]})")
+    model = factory(num_classes=cfg.model.num_classes,
+                    dtype=jnp.bfloat16 if cfg.train.bf16 else jnp.float32)
+    variables = model.init(jax.random.key(0),
+                           jnp.zeros((1, *in_shape[1:])), train=True)
+    if args.ckpt:
+        variables = _restore_variables(args.ckpt, variables)
+
+    def infer_fn(v, images_u8):
+        x = normalize_images(jnp.asarray(images_u8), model.dtype, imagenet=True)
+        try:
+            logits = model.apply(v, x, train=False)
+        except TypeError:  # modules without a train switch (e.g. ViT)
+            logits = model.apply(v, x)
+        return {"probs": jax.nn.softmax(logits.astype(jnp.float32))}
+
+    example = np.zeros(in_shape, np.uint8)
+    if tflite:
+        from .infer.export import export_tflite
+
+        path = export_tflite(infer_fn, variables, [example], args.out,
+                             input_names=["images"])
+        kind = "TFLite flatbuffer"
+    elif stablehlo:
+        from .infer.export import export_stablehlo
+
+        path = export_stablehlo(infer_fn, variables, [example], args.out)
+        kind = "StableHLO artifact"
+    else:
+        from .infer.export import export_savedmodel
+
+        path = export_savedmodel(infer_fn, variables, [example], args.out,
+                                 input_names=["images"])
+        kind = "SavedModel"
+    print(f"{kind} ({cfg.model.backbone}, {'x'.join(map(str, in_shape))} "
+          f"uint8 in, probs [B,{cfg.model.num_classes}] out) -> {path}")
+
+
 def cmd_export(args, overrides):
     """Export the detector program (fwd + decode + NMS) as a SavedModel."""
     import jax.numpy as jnp
@@ -682,6 +750,12 @@ def cmd_export(args, overrides):
         # TFLite builtin kernels have no bf16 type — edge artifacts compute
         # in fp32 (quantization, if any, is the converter's job below)
         cfg.train.bf16 = False
+    if getattr(args, "task", "detect") != "detect":
+        if getattr(args, "int8", False):
+            raise SystemExit("export --int8 is detector-only (w8a8 ConvBN "
+                             "path); use --tflite converter PTQ instead")
+        _export_classifier(cfg, args, tflite, stablehlo)
+        return
     det = _detector_from_cfg(cfg, args.ckpt)
     representative = None
     if getattr(args, "int8", False):
@@ -776,6 +850,93 @@ _GENERATED_README = """\
 """
 
 
+def cmd_doctor(args, overrides):
+    """Environment triage for a new deployment host: device visibility,
+    link bandwidth, host decode budget, native kernels, compile cache —
+    the facts that decide data.num_workers / data.i420 / compile_cache
+    before the first real run. Prints one line per check + a JSON line."""
+    import json
+    import os
+    import platform
+    import sys
+    import time
+
+    report: dict = {"host": platform.node(), "cores": os.cpu_count()}
+
+    def line(key, value, hint=""):
+        report[key] = value
+        print(f"[doctor] {key:<22} {value}" + (f"   ({hint})" if hint else ""))
+
+    line("python", platform.python_version())
+    line("cores", os.cpu_count())
+
+    # --- device backend ---------------------------------------------------
+    import jax
+    import jax.numpy as jnp
+
+    t0 = time.perf_counter()
+    devs = jax.devices()
+    line("backend", devs[0].platform, f"{len(devs)} device(s), "
+         f"visible in {time.perf_counter() - t0:.1f}s")
+    report["n_devices"] = len(devs)
+
+    # tiny jit smoke: compile + run (catches broken toolchains early)
+    x = jnp.ones((256, 256), jnp.bfloat16)
+    f = jax.jit(lambda a: (a @ a).sum())
+    t0 = time.perf_counter()
+    float(f(x))
+    line("jit_smoke_s", round(time.perf_counter() - t0, 2),
+         "first compile is slow on remote backends; cached after")
+
+    # H2D bandwidth (8 MB uint8, best of 3) — decides whether data.i420
+    # (half the bytes) matters on this host
+    import numpy as np
+
+    buf = np.random.default_rng(0).integers(0, 255, (8 << 20,), np.uint8)
+    np.asarray(jnp.asarray(buf)[0])
+    best = 0.0
+    for _ in range(3):
+        t0 = time.perf_counter()
+        np.asarray(jnp.asarray(buf)[0])
+        best = max(best, 8 / (time.perf_counter() - t0))
+    line("h2d_MBps", round(best, 1),
+         "i420 batches (data.i420=true) pay off below ~1000 MB/s")
+
+    # --- host decode budget ------------------------------------------------
+    import cv2
+
+    line("cv2", cv2.__version__)
+    img = np.random.default_rng(0).integers(0, 255, (480, 640, 3), np.uint8)
+    jpg = cv2.imencode(".jpg", img, [cv2.IMWRITE_JPEG_QUALITY, 90])[1].tobytes()
+    t0 = time.perf_counter()
+    n = 0
+    while time.perf_counter() - t0 < 0.5:
+        cv2.imdecode(np.frombuffer(jpg, np.uint8), cv2.IMREAD_COLOR)
+        n += 1
+    per_core = n / (time.perf_counter() - t0)
+    line("decode_img_s_core", round(per_core, 1),
+         f"x{os.cpu_count()} cores with worker_backend='process'")
+
+    # --- native kernels ----------------------------------------------------
+    from . import native
+
+    line("native_letterbox", bool(native.available()))
+    line("native_jpeg_i420", bool(native.jpeg_i420_available()),
+         "fused JPEG->I420 decode for i420 eval loads")
+
+    # --- process workers ---------------------------------------------------
+    start = "forkserver" if "jax" in sys.modules else "fork"
+    line("worker_start_method", start,
+         "auto: never fork() once jax is imported")
+
+    # --- compile cache -----------------------------------------------------
+    cache = jax.config.jax_compilation_cache_dir or ""
+    line("compile_cache", cache or "(unset)",
+         "set cfg.compile_cache to skip recompiles across restarts")
+
+    print(json.dumps(report))
+
+
 def cmd_generate(args, overrides):
     """Scaffold a ready-to-edit project dir: cfg.yaml (full defaulted
     config), train.py consumer script, README (the reference's
@@ -859,6 +1020,8 @@ def make_parser() -> argparse.ArgumentParser:
                         "the training dataset is not on the serving host)")
     p.add_argument("--fast-decode", action="store_true",
                    help="reduced JPEG decode for >=2x oversized images (perf)")
+    sub.add_parser("doctor", help="environment triage: devices, link "
+                   "bandwidth, decode budget, native kernels")
     p = sub.add_parser("convert")
     p.add_argument("--kind", choices=["coco", "voc"], required=True)
     p.add_argument("--ann", default="")
@@ -877,6 +1040,11 @@ def make_parser() -> argparse.ArgumentParser:
     p.add_argument("--ckpt", default="")
     p.add_argument("--out", required=True)
     p.add_argument("--batch", type=int, default=1)
+    p.add_argument("--task", choices=["detect", "cls", "video"],
+                   default="detect",
+                   help="which program to export: the detector chain "
+                        "(fwd+decode+NMS), a classification zoo model, or "
+                        "a video-recognition model (normalize+fwd+softmax)")
     p.add_argument("--int8", action="store_true",
                    help="bake int8 w8a8 PTQ into the exported graph "
                         "(calibrates on val images)")
@@ -914,6 +1082,7 @@ def main(argv=None):
         "anchors": cmd_anchors,
         "export": cmd_export,
         "generate": cmd_generate,
+        "doctor": cmd_doctor,
     }[args.cmd](args, overrides)
 
 

@@ -147,3 +147,31 @@ def test_stablehlo_roundtrip(tmp_path, rng):
         fn = load_stablehlo(path)
         got = np.asarray(fn(np.asarray(x)))
         np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+
+def test_cli_export_task_cls_roundtrip(tmp_path, rng):
+    """export --task cls: a classification zoo model exports to a
+    SavedModel whose probs match jax (uint8 in, softmax out)."""
+    from fastvision_tpu.cli import main
+    from fastvision_tpu.data import normalize_images
+    from fastvision_tpu.models.classification import resnet18
+
+    out = str(tmp_path / "sm_cls")
+    main(["export", "--task", "cls", "--out", out, "--batch", "2",
+          "model.backbone=resnet18", "model.num_classes=4",
+          "data.input_size=32", "train.bf16=false"])
+    loaded = tf.saved_model.load(out)
+    x = rng.integers(0, 255, (2, 32, 32, 3)).astype(np.uint8)
+    got = loaded.f(x)["probs"].numpy()
+    assert got.shape == (2, 4)
+    np.testing.assert_allclose(got.sum(-1), 1.0, rtol=1e-5)
+
+    # exact parity vs the jax program with the same (seed-0) init
+    model = resnet18(num_classes=4, dtype=jnp.float32)
+    variables = model.init(jax.random.key(0), jnp.zeros((1, 32, 32, 3)),
+                           train=True)
+    logits = model.apply(variables,
+                         normalize_images(jnp.asarray(x), jnp.float32,
+                                          imagenet=True), train=False)
+    want = np.asarray(jax.nn.softmax(logits.astype(jnp.float32)))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-6)
