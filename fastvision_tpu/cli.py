@@ -37,6 +37,19 @@ def _load_config(args, overrides):
     return cfg
 
 
+def _mesh_from_cfg(cfg):
+    """Build the (data, model, time) mesh the config asks for.
+
+    mesh_data=0 (the default) means "every device not claimed by the
+    model/time axes" — plain data parallel on an unsharded config. A
+    mesh_model>1 axis makes the train commands channel-shard parameters
+    (tensor parallel, parallel/tensor_shard.py); mesh_time>1 shards the
+    SlowFast fast pathway's clip-time axis (parallel/time_shard.py)."""
+    from .core.mesh import create_mesh
+
+    return create_mesh(cfg.mesh_data or None, cfg.mesh_model, cfg.mesh_time)
+
+
 def _build_detection(cfg, train: bool):
     """Shared model/anchors/loader construction for detection commands."""
     import jax
@@ -100,7 +113,6 @@ def cmd_train(args, overrides):
     cfg = _load_config(args, overrides)
     if cfg.model.name == "faster_rcnn":
         return _train_faster_rcnn(cfg, args)
-    from .core.mesh import create_mesh
     from .core.rng import set_random_seeds
     from .core.telemetry import MetricLogger
     from .data import (
@@ -123,7 +135,7 @@ def cmd_train(args, overrides):
     )
 
     set_random_seeds(cfg.train.seed)
-    mesh = create_mesh()
+    mesh = _mesh_from_cfg(cfg)
     model, variables, anchors = _build_detection(cfg, train=True)
 
     train_ds = DetectionDataset(cfg.data.data_root, cfg.data.train_dir, cfg.data.cache)
@@ -211,7 +223,6 @@ def _train_faster_rcnn(cfg, args):
     import jax
     import jax.numpy as jnp
 
-    from .core.mesh import create_mesh
     from .core.rng import set_random_seeds
     from .core.telemetry import MetricLogger
     from .data import DetectionDataset, DetectionLoader
@@ -226,7 +237,7 @@ def _train_faster_rcnn(cfg, args):
     )
 
     set_random_seeds(cfg.train.seed)
-    mesh = create_mesh()
+    mesh = _mesh_from_cfg(cfg)
     size = cfg.data.input_size
     model = FasterRCNN(
         num_classes=cfg.model.num_classes, image_size=size,
@@ -286,7 +297,6 @@ def cmd_train_cls(args, overrides):
     import jax.numpy as jnp
 
     cfg = _load_config(args, overrides)
-    from .core.mesh import create_mesh
     from .core.rng import set_random_seeds
     from .core.telemetry import MetricLogger
     from .data import (
@@ -307,7 +317,7 @@ def cmd_train_cls(args, overrides):
     )
 
     set_random_seeds(cfg.train.seed)
-    mesh = create_mesh()
+    mesh = _mesh_from_cfg(cfg)
     factory = getattr(cls_zoo, cfg.model.backbone)
     model = factory(
         num_classes=cfg.model.num_classes,
@@ -383,7 +393,6 @@ def cmd_train_video(args, overrides):
     import jax.numpy as jnp
 
     cfg = _load_config(args, overrides)
-    from .core.mesh import create_mesh
     from .core.rng import set_random_seeds
     from .core.telemetry import MetricLogger
     from .data import VideoClipLoader, VideoFolderDataset, normalize_images
@@ -399,15 +408,27 @@ def cmd_train_video(args, overrides):
     )
 
     set_random_seeds(cfg.train.seed)
-    mesh = create_mesh()
+    mesh = _mesh_from_cfg(cfg)
     factory = getattr(video_zoo, cfg.model.backbone, None)
     if factory is None:
         names = [n for n in dir(video_zoo) if not n.startswith("_") and n.islower()]
         raise SystemExit(
             f"unknown video model {cfg.model.backbone!r}; pick one of {names}")
+    extra = {}
+    if cfg.mesh_time > 1:
+        import inspect
+
+        from .core.mesh import TIME_AXIS
+
+        if "time_axis" not in inspect.signature(factory).parameters:
+            raise SystemExit(
+                f"mesh_time={cfg.mesh_time} needs a time-shardable model "
+                f"(slowfast_*); {cfg.model.backbone!r} has no time_axis")
+        extra["time_axis"] = TIME_AXIS
     model = factory(
         num_classes=cfg.model.num_classes,
         dtype=jnp.bfloat16 if cfg.train.bf16 else jnp.float32,
+        **extra,
     )
     size, T = cfg.data.input_size, cfg.data.num_frames
     variables = model.init(jax.random.key(cfg.train.seed),

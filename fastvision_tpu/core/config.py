@@ -187,7 +187,12 @@ class Config:
     train: TrainConfig = field(default_factory=TrainConfig)
     model: ModelConfig = field(default_factory=ModelConfig)
     nms: NMSConfig = field(default_factory=NMSConfig)
-    mesh_data: int = 0  # 0 = all devices on the data axis
+    # mesh axes (core/mesh.py): data x model x time must multiply to the
+    # device count. mesh_data=0 = every device not claimed by model/time.
+    # mesh_model>1: train commands channel-shard params (tensor parallel,
+    # parallel/tensor_shard.py); mesh_time>1: train-video shards SlowFast's
+    # fast-pathway clip time (parallel/time_shard.py halo exchange).
+    mesh_data: int = 0
     mesh_model: int = 1
     mesh_time: int = 1
     # persistent XLA compilation cache directory ('' = off). Kills the

@@ -152,14 +152,25 @@ class Fit:
             print(f"[fit] resumed from epoch {self.start_epoch}")
 
         if mesh is not None:
+            # placement policy: replicate params over the mesh (pure data
+            # parallel) unless the mesh has a real 'model' axis — then
+            # channel-shard them (parallel/tensor_shard.py) and let GSPMD
+            # propagate; opt-state moments mirror the param shapes so the
+            # same rule shards them consistently
+            from ..core.mesh import MODEL_AXIS
+
+            if mesh.shape.get(MODEL_AXIS, 1) > 1:
+                from ..parallel.tensor_shard import shard_variables as place
+            else:
+                place = replicate
             self.state = TrainState(
-                replicate(self.state.params, mesh),
-                replicate(self.state.batch_stats, mesh),
-                replicate(self.state.opt_state, mesh),
+                place(self.state.params, mesh),
+                place(self.state.batch_stats, mesh),
+                place(self.state.opt_state, mesh),
                 self.state.step,
             )
             if self.ema_params is not None:
-                self.ema_params = replicate(self.ema_params, mesh)
+                self.ema_params = place(self.ema_params, mesh)
 
     # ------------------------------------------------------------------
     def request_preempt(self) -> None:

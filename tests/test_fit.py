@@ -115,7 +115,7 @@ def make_yolo_fit(det_data, tmp_path, epochs=3, step_kwargs=None, **kw):
         epochs=epochs,
         schedule=warmup_cosine_lr(3e-3, 1e-4, total_steps=epochs * len(train_loader),
                                   warmup_steps=2),
-        evaluator=detection_evaluator(eval_step),
+        evaluator=detection_evaluator(eval_step, mesh=kw.get("mesh")),
         ckpt_dir=str(tmp_path / "ckpt"),
         logger=None,
         **kw,
