@@ -526,6 +526,8 @@ def _detector_from_cfg(cfg, ckpt: str | None, fast_decode: bool = False,
 
 def cmd_eval(args, overrides):
     cfg = _load_config(args, overrides)
+    if getattr(args, "task", "detect") != "detect":
+        return _eval_classifier(cfg, args)
     from .data import DetectionDataset
 
     det = _detector_from_cfg(cfg, args.ckpt,
@@ -559,9 +561,13 @@ def cmd_eval(args, overrides):
                     + (" tta" if args.tta else ""),
         max_images=args.max_images,
         tta=args.tta,
+        save_json=args.save_json or None,
+        coco_ids=args.coco_ids,
     )
     print(f"mAP@0.5 {res['map50']:.4f}  mAP@0.5:0.95 {res['map']:.4f}  "
           f"({res['images']} imgs, {res['img_per_sec']:.1f} img/s)")
+    if args.save_json:
+        print(f"detections JSON -> {args.save_json}")
 
 
 def cmd_infer(args, overrides):
@@ -691,6 +697,110 @@ def cmd_anchors(args, overrides):
         print(f"  {w:.1f} {h:.1f}")
 
 
+def _build_zoo_model(cfg, task: str, batch: int = 1):
+    """Build a classification/video zoo model + init variables for the
+    non-detection CLI paths (`eval --task`, `export --task`); returns
+    (model, variables, in_shape) with in_shape = (batch, [T,] S, S, 3)."""
+    import jax
+    import jax.numpy as jnp
+
+    if task == "video":
+        from .models import video as zoo
+
+        S, T = cfg.data.input_size, cfg.data.num_frames
+        in_shape = (batch, T, S, S, 3)
+    else:
+        from .models import classification as zoo
+
+        S = cfg.data.input_size
+        in_shape = (batch, S, S, 3)
+    factory = getattr(zoo, cfg.model.backbone, None)
+    if factory is None:
+        raise SystemExit(
+            f"unknown {task} model {cfg.model.backbone!r} "
+            f"(available: {[n for n in dir(zoo) if not n.startswith('_')]})")
+    model = factory(num_classes=cfg.model.num_classes,
+                    dtype=jnp.bfloat16 if cfg.train.bf16 else jnp.float32)
+    variables = model.init(jax.random.key(0),
+                           jnp.zeros((1, *in_shape[1:])), train=True)
+    return model, variables, in_shape
+
+
+def _eval_classifier(cfg, args):
+    """Standalone accuracy eval of a trained classification/video
+    checkpoint (`eval --task cls|video --ckpt dir`): top-1 over the val
+    split — the same evaluator the train loop uses (ref
+    metrics/accuracy.py:3), plus the Kinetics-style multi-clip protocol
+    for video when data.eval_clips > 1."""
+    import time
+
+    from .data import normalize_images
+    from .train import (
+        TrainState,
+        classification_evaluator,
+        make_eval_step,
+        video_multiclip_evaluator,
+    )
+
+    if not args.ckpt:
+        raise SystemExit(f"eval --task {args.task} needs --ckpt")
+    model, variables, _ = _build_zoo_model(cfg, args.task)
+    variables = _restore_variables(args.ckpt, variables)
+    mesh = _mesh_from_cfg(cfg)
+
+    def apply_fn(v, images, **kw):
+        x = normalize_images(images, model.dtype, imagenet=True)
+        try:
+            return model.apply(v, x, **kw)
+        except TypeError:  # modules without a train switch (e.g. ViT)
+            return model.apply(v, x)
+
+    # place params on the mesh (replicated, or channel-sharded over a real
+    # model axis) — batches arrive sharded over 'data', so params left on
+    # one device would make the jitted eval step reject the mix
+    from .core.mesh import MODEL_AXIS, replicate
+
+    if mesh.shape.get(MODEL_AXIS, 1) > 1:
+        from .parallel.tensor_shard import shard_variables as place
+    else:
+        place = replicate
+    state = TrainState(place(variables["params"], mesh),
+                       place(variables.get("batch_stats", {}), mesh), None, 0)
+    cats = cfg.data.categories or None
+    if args.task == "video":
+        from .data import VideoClipLoader, VideoFolderDataset
+
+        loader = VideoClipLoader(
+            VideoFolderDataset(cfg.data.data_root, cfg.data.val_dir, cats),
+            num_frames=cfg.data.num_frames, size=cfg.data.input_size,
+            batch_size=cfg.data.batch_size,
+            strategy=cfg.data.frame_strategy, train=False,
+            num_workers=cfg.data.num_workers,
+            worker_backend=cfg.data.worker_backend)
+        unit = "clip"
+        evaluate = (
+            video_multiclip_evaluator(make_eval_step(apply_fn),
+                                      n_clips=cfg.data.eval_clips, mesh=mesh)
+            if cfg.data.eval_clips > 1
+            else classification_evaluator(make_eval_step(apply_fn), mesh=mesh))
+    else:
+        from .data import ClassificationDataset, ClassificationLoader
+
+        loader = ClassificationLoader(
+            ClassificationDataset(cfg.data.data_root, cfg.data.val_dir, cats),
+            cfg.data.input_size, cfg.data.batch_size, train=False)
+        unit = "img"
+        evaluate = classification_evaluator(make_eval_step(apply_fn), mesh=mesh)
+    t0 = time.perf_counter()
+    res = evaluate(state, loader)
+    dt = time.perf_counter() - t0
+    n = len(loader.ds)
+    extra = f" ({res['n_clips']}-clip protocol)" if "n_clips" in res else ""
+    print(f"top-1 accuracy {res['accuracy']:.4f}{extra}  "
+          f"({n} {unit}s, {n / dt:.1f} {unit}/s)")
+    return res
+
+
 def _export_classifier(cfg, args, tflite: bool, stablehlo: bool):
     """Export a classification/video-recognition program (normalize +
     forward + softmax, uint8 in) — same artifact formats as the detector
@@ -701,25 +811,7 @@ def _export_classifier(cfg, args, tflite: bool, stablehlo: bool):
 
     from .data import normalize_images
 
-    if args.task == "video":
-        from .models import video as zoo
-
-        S, T = cfg.data.input_size, cfg.data.num_frames
-        in_shape = (args.batch, T, S, S, 3)
-    else:
-        from .models import classification as zoo
-
-        S = cfg.data.input_size
-        in_shape = (args.batch, S, S, 3)
-    factory = getattr(zoo, cfg.model.backbone, None)
-    if factory is None:
-        raise SystemExit(
-            f"unknown {args.task} model {cfg.model.backbone!r} "
-            f"(available: {[n for n in dir(zoo) if not n.startswith('_')]})")
-    model = factory(num_classes=cfg.model.num_classes,
-                    dtype=jnp.bfloat16 if cfg.train.bf16 else jnp.float32)
-    variables = model.init(jax.random.key(0),
-                           jnp.zeros((1, *in_shape[1:])), train=True)
+    model, variables, in_shape = _build_zoo_model(cfg, args.task, args.batch)
     if args.ckpt:
         variables = _restore_variables(args.ckpt, variables)
 
@@ -1004,6 +1096,12 @@ def make_parser() -> argparse.ArgumentParser:
                                    "SlowFast) over folder-per-class clips"))
     p.add_argument("--resume", action="store_true")
     p = common(sub.add_parser("eval"))
+    p.add_argument("--task", choices=["detect", "cls", "video"],
+                   default="detect",
+                   help="detect: mAP over a detection val split (default); "
+                        "cls/video: top-1 accuracy of a trained "
+                        "classification/video checkpoint (video honors "
+                        "data.eval_clips for the multi-clip protocol)")
     p.add_argument("--ckpt", default="")
     p.add_argument("--metric-file", default="")
     p.add_argument("--max-images", type=int, default=None)
@@ -1021,6 +1119,12 @@ def make_parser() -> argparse.ArgumentParser:
                    help="conf:iou threshold sweep (one compile + one data "
                         "pass for the whole grid); bare --sweep runs the "
                         "reference's 9-point grid (inference.py:142-179)")
+    p.add_argument("--save-json", default="", metavar="PATH",
+                   help="write detections as official COCO results JSON "
+                        "(pycocotools-scoreable; parity cross-check)")
+    p.add_argument("--coco-ids", action="store_true",
+                   help="with --save-json: map the 80 contiguous classes "
+                        "back to COCO annotation category ids 1..90")
     p = common(sub.add_parser("infer"))
     p.add_argument("--ckpt", default="")
     p.add_argument("--source", required=True)

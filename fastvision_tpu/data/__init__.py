@@ -25,7 +25,13 @@ from .class_names import (
     categories_for,
     make_descriptor,
 )
-from .converters import VOC_CLASSES, coco_90_to_80_map, coco_to_fastvision, voc_to_fastvision
+from .converters import (
+    VOC_CLASSES,
+    coco_80_to_91_ids,
+    coco_90_to_80_map,
+    coco_to_fastvision,
+    voc_to_fastvision,
+)
 from .dataset import (
     ClassificationDataset,
     DetectionDataset,

@@ -38,6 +38,15 @@ def coco_90_to_80_map() -> dict[int, int]:
     return mapping
 
 
+def coco_80_to_91_ids() -> list[int]:
+    """The 80 contiguous model class indices -> original COCO annotation
+    category ids (1..90 with gaps) — the inverse of `coco_90_to_80_map`,
+    needed when emitting detections the official COCO evaluator
+    (pycocotools) can score against instances_val2017.json."""
+    return [cid for cid, _ in sorted(coco_90_to_80_map().items(),
+                                     key=lambda kv: kv[1])]
+
+
 def coco_to_fastvision(
     ann_json: str,
     images_dir: str,

@@ -7,7 +7,7 @@ from .export import (
     load_stablehlo,
 )
 from .postprocess import detections_to_original, scale_coords
-from .predictor import Detector, VideoClassifier
+from .predictor import Detector, VideoClassifier, detections_to_coco
 from .preprocess import preprocess_batch, preprocess_image
 from .quantize import calibrate, quantize_model, quantize_variables
 from .serving import VisionService, serve

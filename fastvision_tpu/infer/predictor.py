@@ -7,6 +7,7 @@ program at a fixed batch size; host does letterbox in, unscale out.
 """
 from __future__ import annotations
 
+import json
 import os
 import time
 from typing import Callable, Iterator, Sequence
@@ -21,6 +22,36 @@ from ..ops.nms import Detections, batched_non_max_suppression
 from .decode import decode_predictions
 from .postprocess import scale_coords
 from .preprocess import preprocess_batch
+
+
+def detections_to_coco(image_id, boxes, scores, classes,
+                       coco_ids: bool = False) -> list[dict]:
+    """One image's detections -> official COCO results entries
+    ([{image_id, category_id, bbox [x,y,w,h], score}]) — what
+    pycocotools' loadRes expects, so real-data runs can be scored by the
+    official evaluator independently of ops/map.py. Boxes in pixel xyxy;
+    numeric filename stems become int image_ids (COCO convention, e.g.
+    000000000139.jpg -> 139)."""
+    sid = str(image_id)
+    iid = int(sid) if sid.isdigit() else sid
+    if coco_ids:
+        from ..data.converters import coco_80_to_91_ids
+
+        id_map = coco_80_to_91_ids()
+        to_cat = lambda c: id_map[int(c)]  # noqa: E731
+    else:
+        to_cat = int
+    out = []
+    for b, s, c in zip(np.asarray(boxes), np.asarray(scores),
+                       np.asarray(classes)):
+        x1, y1, x2, y2 = (float(v) for v in b)
+        out.append({
+            "image_id": iid, "category_id": to_cat(c),
+            "bbox": [round(x1, 3), round(y1, 3),
+                     round(x2 - x1, 3), round(y2 - y1, 3)],
+            "score": round(float(s), 5),
+        })
+    return out
 
 
 class Detector:
@@ -617,7 +648,7 @@ class Detector:
                                          meta["pad"], meta["orig_hw"])
                 yield (
                     {"boxes": boxes, "scores": det.scores[i][v],
-                     "classes": det.classes[i][v]},
+                     "classes": det.classes[i][v], "id": meta["id"]},
                     meta["gt_pixels"],
                 )
 
@@ -778,6 +809,8 @@ class Detector:
         device_matching: bool | None = None,
         max_boxes: int = 120,
         num_workers: int = 0,
+        save_json: str | None = None,
+        coco_ids: bool = False,
     ) -> dict:
         """mAP over a DetectionDataset; optionally append the run to a
         metric table file (ref inference.py:234-247 metric.txt writer).
@@ -789,12 +822,28 @@ class Detector:
         same result, no host bottleneck at device eval rates. Falls back
         to host matching for tta / reference_demo postprocess (those match
         in original-pixel space on merged candidates). `max_boxes` bounds
-        per-image GT on the device path (COCO max is 93)."""
+        per-image GT on the device path (COCO max is 93).
+
+        `save_json` writes every detection as official COCO results JSON
+        ([{image_id, category_id, bbox xywh, score}]) — the cross-check
+        artifact for the real-data parity runbook (docs/PARITY.md):
+        pycocotools can score it against instances_val2017.json
+        independently of this repo's evaluator. image_id is the numeric
+        filename stem when it parses (COCO names), the stem string
+        otherwise; `coco_ids=True` maps the 80 contiguous classes back to
+        the annotation ids 1..90 (data/converters.py::coco_80_to_91_ids).
+        Forces the host matching path (original-pixel boxes only exist on
+        the host there)."""
         from ..ops.map import MeanAveragePrecision
 
+        if save_json and (tta or device_matching):
+            raise ValueError(
+                "save_json needs original-pixel boxes on the host — use "
+                "the plain eval path (tta=False, device_matching=False)")
         if device_matching is None:
             device_matching = (
-                not tta and self.postprocess_mode == "standard"
+                not tta and not save_json
+                and self.postprocess_mode == "standard"
             )
         elif device_matching and (tta or self.postprocess_mode != "standard"):
             raise ValueError(
@@ -810,9 +859,17 @@ class Detector:
         elif device_matching:
             self._evaluate_device(ds, n, m, num_workers, max_boxes)
         else:
+            entries = [] if save_json else None
             for res, lab in self.predict_dataset(ds):
                 m.update(res["boxes"], res["scores"], res["classes"],
                          lab[:, 1:5], lab[:, 0])
+                if entries is not None:
+                    entries.extend(detections_to_coco(
+                        res["id"], res["boxes"], res["scores"],
+                        res["classes"], coco_ids=coco_ids))
+            if save_json:
+                with open(save_json, "w") as f:
+                    json.dump(entries, f)
         dt = time.perf_counter() - t0
         r = m.compute()
         result = {

@@ -7,6 +7,7 @@ import pytest
 
 from fastvision_tpu.data import (
     DetectionDataset,
+    coco_80_to_91_ids,
     coco_90_to_80_map,
     coco_to_fastvision,
     voc_to_fastvision,
@@ -19,6 +20,14 @@ def test_coco_90_to_80_map():
     assert m[1] == 0  # person
     assert m[90] == 79  # toothbrush
     assert 12 not in m  # gap id
+
+
+def test_coco_80_to_91_ids_inverts_the_map():
+    ids = coco_80_to_91_ids()
+    m = coco_90_to_80_map()
+    assert len(ids) == 80
+    assert ids[0] == 1 and ids[79] == 90
+    assert all(m[cid] == i for i, cid in enumerate(ids))
 
 
 @pytest.fixture()

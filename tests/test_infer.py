@@ -82,6 +82,48 @@ def test_detector_evaluate_writes_metric_file(detector, tmp_path, rng):
     assert "conf .3" in content and "mAP@0.50" in content
 
 
+def test_evaluate_save_json_coco_results(detector, tmp_path, rng):
+    """evaluate(save_json=...) writes official COCO results JSON
+    ([{image_id, category_id, bbox xywh, score}]) that pycocotools can
+    score — numeric filename stems become int image_ids, --coco-ids maps
+    classes back to the 1..90 annotation id space."""
+    import cv2
+
+    from fastvision_tpu.data import DetectionDataset, coco_80_to_91_ids
+
+    root = tmp_path / "ds"
+    os.makedirs(root / "val" / "images")
+    os.makedirs(root / "val" / "labels")
+    for stem in ("000000000139", "notnumeric"):
+        cv2.imwrite(str(root / "val" / "images" / f"{stem}.jpg"),
+                    rng.integers(0, 255, (96, 96, 3)).astype(np.uint8))
+        (root / "val" / "labels" / f"{stem}.txt").write_text("0 10 10 50 50\n")
+    ds = DetectionDataset(str(root), "val")
+    out = str(tmp_path / "dets.json")
+    res = detector.evaluate(ds, save_json=out)
+    assert res["images"] == 2
+    entries = json.load(open(out))
+    assert entries, "random-init detector at conf .3 should emit boxes"
+    ids = {e["image_id"] for e in entries}
+    assert ids <= {139, "notnumeric"}  # numeric stem -> int id
+    for e in entries:
+        assert set(e) == {"image_id", "category_id", "bbox", "score"}
+        x, y, w, h = e["bbox"]
+        assert w >= 0 and h >= 0 and x + w <= 96 + 1e-6 and y + h <= 96 + 1e-6
+        assert e["category_id"] in (0, 1, 2)  # contiguous by default
+        assert 0.0 <= e["score"] <= 1.0
+    # coco_ids=True remaps through the 80->91 table (3-class toy model
+    # still indexes into its first three entries: person, bicycle, car)
+    det_out = str(tmp_path / "dets91.json")
+    detector.evaluate(ds, save_json=det_out, coco_ids=True)
+    table = coco_80_to_91_ids()
+    for e in json.load(open(det_out)):
+        assert e["category_id"] in table[:3]
+    # device_matching and save_json are mutually exclusive
+    with pytest.raises(ValueError, match="save_json"):
+        detector.evaluate(ds, save_json=out, device_matching=True)
+
+
 def test_vision_service_contract(detector, rng):
     import cv2
 

@@ -89,6 +89,11 @@ def main():
             best = (ips, (B, k_mid))
         if ips is None:  # OOM: larger batches will too
             break
+    if best[1] is None:
+        raise SystemExit(
+            "autotune: every batch point failed (see '# bs.../K...' lines "
+            "above) — backend down or OOM even at the smallest batch; "
+            "retry with --batches 8 16")
     B_star = best[1][0]
     for K in args.topk:
         if K == k_mid:
