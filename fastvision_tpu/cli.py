@@ -140,7 +140,10 @@ def cmd_train(args, overrides):
 
     train_ds = DetectionDataset(cfg.data.data_root, cfg.data.train_dir, cfg.data.cache)
     val_ds = DetectionDataset(cfg.data.data_root, cfg.data.val_dir, cfg.data.cache)
-    aug = Augmentation([HorizontalFlip(p=0.5), HSVJitter(p=0.5)])
+    from .data import build_augmentation
+
+    aug = (build_augmentation(cfg.data.augment)
+           or Augmentation([HorizontalFlip(p=0.5), HSVJitter(p=0.5)]))
     emit = "i420" if cfg.data.i420 else "rgb"
     workers = dict(num_workers=cfg.data.num_workers,
                    worker_backend=cfg.data.worker_backend)
@@ -192,7 +195,7 @@ def cmd_train(args, overrides):
     steps_per_epoch = max(len(train_loader), 1)
     fit = Fit(
         apply_fn, loss_fn, tx, variables, train_loader, val_loader,
-        epochs=cfg.train.epochs, mesh=mesh,
+        epochs=cfg.train.epochs, mesh=mesh, seed=cfg.train.seed,
         schedule=warmup_cosine_lr(
             cfg.train.lr, cfg.train.final_lr,
             cfg.train.epochs * steps_per_epoch,
@@ -259,10 +262,13 @@ def _train_faster_rcnn(cfg, args):
     emit = "i420" if cfg.data.i420 else "rgb"
     workers = dict(num_workers=cfg.data.num_workers,
                    worker_backend=cfg.data.worker_backend)
+    from .data import build_augmentation
+
     train_loader = DetectionLoader(
         DetectionDataset(cfg.data.data_root, cfg.data.train_dir, cfg.data.cache),
         size, cfg.data.batch_size, cfg.data.max_boxes, train=True,
         seed=cfg.train.seed, emit=emit, on_corrupt=cfg.data.on_corrupt,
+        augmentation=build_augmentation(cfg.data.augment),
         **workers,
     )
     val_loader = DetectionLoader(
@@ -273,7 +279,7 @@ def _train_faster_rcnn(cfg, args):
     steps_per_epoch = max(len(train_loader), 1)
     fit = Fit(
         None, None, tx, variables, train_loader, val_loader,
-        epochs=cfg.train.epochs, mesh=mesh,
+        epochs=cfg.train.epochs, mesh=mesh, seed=cfg.train.seed,
         # step decay x0.1 every 8 epochs (demos/faster_rcnn/cfg/_fit.py:23-25)
         schedule=step_decay_lr(cfg.train.lr, 8 * steps_per_epoch),
         evaluator=detection_evaluator(
@@ -355,20 +361,28 @@ def cmd_train_cls(args, overrides):
     tx = build_optimizer(cfg.train.optimizer, variables["params"],
                          weight_decay=cfg.train.weight_decay,
                          momentum=cfg.train.momentum)
+    from .data import build_augmentation
+
+    aug = (build_augmentation(cfg.data.augment)
+           or Augmentation([HorizontalFlip(p=0.5)]))
     train_loader = ClassificationLoader(
         ClassificationDataset(cfg.data.data_root, cfg.data.train_dir,
                               cfg.data.categories or None),
         size, cfg.data.batch_size,
-        augmentation=Augmentation([HorizontalFlip(p=0.5)]), seed=cfg.train.seed,
-        on_corrupt=cfg.data.on_corrupt)
+        augmentation=aug, seed=cfg.train.seed,
+        on_corrupt=cfg.data.on_corrupt,
+        num_workers=cfg.data.num_workers,
+        worker_backend=cfg.data.worker_backend)
     val_loader = ClassificationLoader(
         ClassificationDataset(cfg.data.data_root, cfg.data.val_dir,
                               cfg.data.categories or None),
-        size, cfg.data.batch_size, train=False)
+        size, cfg.data.batch_size, train=False,
+        num_workers=cfg.data.num_workers,
+        worker_backend=cfg.data.worker_backend)
     steps = cfg.train.epochs * max(len(train_loader), 1)
     fit = Fit(
         apply_fn, loss_fn, tx, variables, train_loader, val_loader,
-        epochs=cfg.train.epochs, mesh=mesh,
+        epochs=cfg.train.epochs, mesh=mesh, seed=cfg.train.seed,
         schedule=warmup_cosine_lr(cfg.train.lr, cfg.train.final_lr, steps,
                                   warmup_steps=cfg.train.warmup_epochs
                                   * max(len(train_loader), 1)),
@@ -461,7 +475,7 @@ def cmd_train_video(args, overrides):
     steps = cfg.train.epochs * max(len(train_loader), 1)
     fit = Fit(
         apply_fn, loss_fn, tx, variables, train_loader, val_loader,
-        epochs=cfg.train.epochs, mesh=mesh,
+        epochs=cfg.train.epochs, mesh=mesh, seed=cfg.train.seed,
         schedule=warmup_cosine_lr(cfg.train.lr, cfg.train.final_lr, steps,
                                   warmup_steps=cfg.train.warmup_epochs
                                   * max(len(train_loader), 1)),
@@ -788,7 +802,9 @@ def _eval_classifier(cfg, args):
 
         loader = ClassificationLoader(
             ClassificationDataset(cfg.data.data_root, cfg.data.val_dir, cats),
-            cfg.data.input_size, cfg.data.batch_size, train=False)
+            cfg.data.input_size, cfg.data.batch_size, train=False,
+            num_workers=cfg.data.num_workers,
+            worker_backend=cfg.data.worker_backend)
         unit = "img"
         evaluate = classification_evaluator(make_eval_step(apply_fn), mesh=mesh)
     t0 = time.perf_counter()

@@ -97,6 +97,11 @@ class DataConfig:
     # 'process' = DecodePool fork workers + shared-memory ring (scales
     # decode/augment with cores); 'thread' = GIL-bound cv2 pool
     worker_backend: str = "process"
+    # train-time augmentation pipeline (data/augment.py::build_augmentation):
+    # list of 'name'/'name:p' strings or {op: name, **kwargs} dicts, e.g.
+    # [hflip:0.5, {op: hsv, p: 0.5}, {op: jitter, ratio: 0.3}]. Empty list
+    # keeps the command's default recipe.
+    augment: list = field(default_factory=list)
     cache: bool = False
     # ship train/val batches as packed YUV 4:2:0 (half the host->device
     # bytes; decoded on device inside the jitted step). Wins on hosts where

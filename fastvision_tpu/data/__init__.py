@@ -17,6 +17,7 @@ from .augment import (
     Resize,
     ResizeByMax,
     VerticalFlip,
+    build_augmentation,
 )
 from .class_names import (
     CIFAR10_CLASSES,

@@ -303,3 +303,62 @@ class Augmentation:
             if decision is not None:
                 image, labels = op.apply(image, labels, decision)
         return image, labels
+
+
+# Config-driven construction: the reference wires augmentation pipelines in
+# per-demo cfg python files (demos/*/cfg/_data_gen.py); here the same
+# composition is a plain YAML list on `data.augment` (core/config.py), so
+# recipes travel with the config instead of with code.
+OP_REGISTRY: dict[str, type] = {
+    "bgr2rgb": BGR2RGB,
+    "resize": Resize,
+    "resize_by_max": ResizeByMax,
+    "jitter": Jitter,
+    "padding": Padding,
+    "center_crop": CenterCrop,
+    "random_crop": RandomCrop,
+    "hflip": HorizontalFlip,
+    "vflip": VerticalFlip,
+    "hsv": HSVJitter,
+    "hist_equalize": HistEqualize,
+    "blur": Blur,
+    "channel_shuffle": ChannelShuffle,
+    "normalization": Normalization,
+}
+
+
+def build_augmentation(specs, mode: str = "detect") -> "Augmentation | None":
+    """Build an Augmentation pipeline from config specs.
+
+    Each spec is either a string `'name'` / `'name:p'` (probability
+    shorthand) or a dict `{op: name, **kwargs}` passing the op's
+    constructor arguments — e.g. in YAML::
+
+        data:
+          augment:
+            - hflip:0.5
+            - {op: hsv, p: 0.5, s_gain: 0.6}
+            - {op: jitter, ratio: 0.3}
+
+    Returns None for an empty/missing list (callers keep their default)."""
+    if not specs:
+        return None
+    ops = []
+    for spec in specs:
+        if isinstance(spec, str):
+            name, _, p = spec.partition(":")
+            kw = {"p": float(p)} if p else {}
+        elif isinstance(spec, dict):
+            kw = dict(spec)
+            name = kw.pop("op", None)
+            if not name:
+                raise ValueError(f"augment spec {spec!r} needs an 'op' key")
+        else:
+            raise ValueError(
+                f"augment spec must be a string or dict, got {spec!r}")
+        cls = OP_REGISTRY.get(str(name).lower())
+        if cls is None:
+            raise ValueError(f"unknown augment op {name!r} "
+                             f"(available: {sorted(OP_REGISTRY)})")
+        ops.append(cls(**kw))
+    return Augmentation(ops, mode=mode)

@@ -445,11 +445,21 @@ class DetectionLoader:
 
 
 class ClassificationLoader:
-    """Simple classification batches: images [B,S,S,3] uint8, labels [B]."""
+    """Classification batches: images [B,S,S,3] uint8, labels [B].
+
+    `num_workers` / `worker_backend` mirror DetectionLoader and
+    VideoClipLoader: 'thread' overlaps JPEG decode across a pool (cv2
+    releases the GIL), 'process' (optionally ':fork|forkserver|spawn')
+    decodes over cores via DecodePool shared-memory slots — at ImageNet
+    scale the host decode, not the device, bounds a classification train
+    step. Augmentation rng is per-sample ((seed, epoch, position), the
+    package-wide determinism discipline), so every backend and worker
+    count yields byte-identical batches."""
 
     def __init__(self, dataset, input_size=224, batch_size=32, train=True,
                  augmentation: Augmentation | None = None, seed=0,
-                 on_corrupt: str = "raise"):
+                 on_corrupt: str = "raise", num_workers: int = 0,
+                 worker_backend: str = "thread"):
         self.ds = dataset
         self.input_size = input_size
         self.batch_size = batch_size
@@ -459,33 +469,105 @@ class ClassificationLoader:
         if on_corrupt not in ("raise", "skip"):
             raise ValueError(f"on_corrupt must be 'raise' or 'skip', got {on_corrupt!r}")
         self.on_corrupt = on_corrupt
+        backend, _, start = worker_backend.partition(":")
+        if backend not in ("thread", "process") or (
+            start and (backend != "process"
+                       or start not in ("fork", "forkserver", "spawn"))
+        ):
+            raise ValueError(
+                "worker_backend must be 'thread', 'process', or "
+                f"'process:fork|forkserver|spawn', got {worker_backend!r}"
+            )
+        self.worker_backend = backend
+        self.worker_start_method = start or None
+        self.num_workers = num_workers
+        self._pool = None
+        self._decode_pool = None
+        if num_workers and num_workers > 1 and backend == "thread":
+            from concurrent.futures import ThreadPoolExecutor
 
-    def _fetch(self, fn, idx: int):
-        return fetch_with_corrupt_policy(self.ds, self.on_corrupt, fn, idx)
+            self._pool = ThreadPoolExecutor(max_workers=num_workers)
+
+    def __getstate__(self):
+        # process workers pickle this loader via the work fn: strip live pools
+        state = self.__dict__.copy()
+        state["_pool"] = None
+        state["_decode_pool"] = None
+        return state
 
     def __len__(self):
         return len(self.ds) // self.batch_size if self.train else -(-len(self.ds) // self.batch_size)
 
-    def epoch(self, epoch_idx: int = 0):
+    def _sample_work(self, item):
+        """Per-image host work (decode + augment + resize), runnable
+        inside a DecodePool worker: (uint8 [S,S,3], label)."""
         import cv2
 
+        pos, idx, epoch_idx = item
+        img, lab = fetch_with_corrupt_policy(
+            self.ds, self.on_corrupt, self.ds.__getitem__, int(idx))
+        if self.train and self.augmentation is not None:
+            sample_rng = np.random.default_rng((self.seed, epoch_idx, pos))
+            img, _ = self.augmentation(img, None, sample_rng)
+        img = cv2.resize(img, (self.input_size, self.input_size))
+        return np.ascontiguousarray(img), lab
+
+    def _epoch_process(self, epoch_idx: int, order: np.ndarray):
+        if self._decode_pool is None:
+            import sys
+
+            from .decode_pool import DecodePool
+
+            start = self.worker_start_method or (
+                "forkserver" if "jax" in sys.modules else "fork"
+            )
+            self._decode_pool = DecodePool(
+                self._sample_work, self.num_workers,
+                (self.input_size, self.input_size, 3),
+                n_slots=max(4 * self.num_workers, 2 * self.batch_size),
+                start_method=start,
+            )
+        n = (len(self) * self.batch_size if self.train else len(order))
+        items = ((pos, order[pos], epoch_idx) for pos in range(min(n, len(order))))
+        batch = np.empty(
+            (self.batch_size, self.input_size, self.input_size, 3), np.uint8)
+        labels, i = [], 0
+        for view, label in self._decode_pool.imap(items):
+            batch[i] = view
+            labels.append(label)
+            i += 1
+            if i == self.batch_size:
+                yield {"images": batch.copy(),
+                       "labels": np.asarray(labels, np.int32), "num_real": i}
+                labels, i = [], 0
+        if i and not self.train:  # ragged last eval batch
+            real = i
+            while i < self.batch_size:
+                batch[i] = batch[real - 1]
+                labels.append(labels[-1])
+                i += 1
+            yield {"images": batch.copy(),
+                   "labels": np.asarray(labels, np.int32), "num_real": real}
+
+    def epoch(self, epoch_idx: int = 0):
         rng = np.random.default_rng((self.seed, epoch_idx))
         order = rng.permutation(len(self.ds)) if self.train else np.arange(len(self.ds))
+        if self.num_workers > 1 and self.worker_backend == "process":
+            yield from self._epoch_process(epoch_idx, order)
+            return
         for b in range(len(self)):
-            idxs = order[b * self.batch_size : (b + 1) * self.batch_size]
-            images, labels = [], []
-            for i in idxs:
-                img, lab = self._fetch(self.ds.__getitem__, int(i))
-                if self.train and self.augmentation is not None:
-                    img, _ = self.augmentation(img, None, rng)
-                img = cv2.resize(img, (self.input_size, self.input_size))
-                images.append(img)
-                labels.append(lab)
-            real = len(images)
-            while len(images) < self.batch_size:  # ragged last eval batch
-                images.append(images[-1])
-                labels.append(labels[-1])
-            yield {"images": np.stack(images), "labels": np.asarray(labels, np.int32),
+            work = [(pos, order[pos], epoch_idx)
+                    for pos in range(b * self.batch_size,
+                                     min((b + 1) * self.batch_size, len(order)))]
+            if self._pool is not None:
+                outs = list(self._pool.map(self._sample_work, work))
+            else:
+                outs = [self._sample_work(w) for w in work]
+            real = len(outs)
+            while len(outs) < self.batch_size:  # ragged last eval batch
+                outs.append(outs[-1])
+            yield {"images": np.stack([o[0] for o in outs]),
+                   "labels": np.asarray([o[1] for o in outs], np.int32),
                    "num_real": real}
 
     def __iter__(self):

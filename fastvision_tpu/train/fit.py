@@ -59,12 +59,28 @@ class Fit:
         resume: bool = False,
         metric_mode: str = "min",  # best tracking on 'val_loss' by default
         metric_key: str = "val_loss",
-        step_fn: Callable | None = None,  # prebuilt (state, batch, lr) -> (state, metrics)
+        # prebuilt (state, batch, lr[, rng]) -> (state, metrics); when the
+        # callable takes a 4th arg it receives a deterministic per-step key
+        # derived from `seed` (dropout models need it — core/rng.step_key)
+        step_fn: Callable | None = None,
+        seed: int = 0,
         ema_decay: float = 0.0,  # >0 enables EMA weights for eval/checkpoint
         multiscale: Sequence[int] | None = None,  # per-epoch train input sizes
         preempt_signals: Sequence[int] = (),  # e.g. (signal.SIGTERM,)
     ):
         self.step_fn = step_fn or make_train_step(apply_fn, loss_fn, tx)
+        # thread a per-step rng into step_fns that accept one (4th param):
+        # dropout models (VGG, ViT) crash in training without it, and a
+        # deterministic (seed, global_step) stream keeps runs reproducible
+        # and resume-consistent
+        import inspect
+
+        try:
+            self._step_takes_rng = (
+                len(inspect.signature(self.step_fn).parameters) >= 4)
+        except (TypeError, ValueError):
+            self._step_takes_rng = False
+        self._rng_root = jax.random.key(seed) if self._step_takes_rng else None
         self.state = TrainState.create(variables, tx)
         self.train_loader = train_loader
         self.val_loader = val_loader
@@ -197,7 +213,14 @@ class Fit:
             if self._preempt:
                 break
             lr = lr_override if lr_override is not None else self._lr()
-            self.state, metrics = self.step_fn(self.state, batch, lr)
+            if self._step_takes_rng:
+                from ..core.rng import step_key
+
+                self.state, metrics = self.step_fn(
+                    self.state, batch, lr,
+                    step_key(self._rng_root, self.global_step))
+            else:
+                self.state, metrics = self.step_fn(self.state, batch, lr)
             if self._ema_update is not None:
                 self.ema_params = self._ema_update(
                     self.ema_params, self.state.params, self.state.step

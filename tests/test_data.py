@@ -319,6 +319,84 @@ def test_loader_on_corrupt_skip_process_backend(corrupt_dataset):
     assert ids == ["im0", "im1", "im3", "im3", "im4", "im5"]
 
 
+def test_build_augmentation_from_config_specs():
+    """Config-driven augmentation (data.augment in YAML): string
+    'name[:p]' shorthand, {op: name, **kwargs} dicts, clear errors for
+    unknown ops, None for an empty list (callers keep their default)."""
+    from fastvision_tpu.data import build_augmentation
+    from fastvision_tpu.data.augment import (
+        HorizontalFlip,
+        HSVJitter,
+        Jitter,
+    )
+
+    aug = build_augmentation(
+        ["hflip:0.5", {"op": "hsv", "p": 0.25, "s_gain": 0.6},
+         {"op": "jitter", "ratio": 0.1}])
+    assert [type(o) for o in aug.ops] == [HorizontalFlip, HSVJitter, Jitter]
+    assert aug.ops[0].p == 0.5 and aug.ops[1].p == 0.25
+    assert aug.ops[1].gains[1] == 0.6 and aug.ops[2].ratio == 0.1
+
+    assert build_augmentation([]) is None
+    assert build_augmentation(None) is None
+    with pytest.raises(ValueError, match="unknown augment op"):
+        build_augmentation(["mosaicify"])
+    with pytest.raises(ValueError, match="'op' key"):
+        build_augmentation([{"p": 0.5}])
+
+    # a p=1 hflip built from config must actually flip
+    flip = build_augmentation(["hflip:1.0"])
+    img = np.arange(2 * 4 * 3, dtype=np.uint8).reshape(2, 4, 3)
+    out, _ = flip(img, None, np.random.default_rng(0))
+    np.testing.assert_array_equal(out, img[:, ::-1])
+
+
+def test_classification_loader_backends_identical(tmp_path):
+    """ClassificationLoader's thread and process (DecodePool) backends
+    must produce byte-identical batches to the serial path, including
+    per-sample augmentation rng and the ragged eval last batch — same
+    contract as DetectionLoader / VideoClipLoader."""
+    import cv2
+
+    from fastvision_tpu.data import ClassificationDataset, ClassificationLoader
+    from fastvision_tpu.data.augment import Augmentation, HorizontalFlip, Jitter
+
+    rng = np.random.default_rng(3)
+    for ci, name in enumerate(("a", "b")):
+        d = tmp_path / "train" / name
+        os.makedirs(d)
+        for i in range(5):  # 10 images, batch 4 -> ragged eval tail of 2
+            cv2.imwrite(str(d / f"{i}.jpg"),
+                        rng.integers(0, 255, (40, 48, 3), np.uint8))
+    ds = ClassificationDataset(str(tmp_path), "train")
+
+    def batches(train, **kw):
+        aug = Augmentation([HorizontalFlip(p=0.5), Jitter(0.2, p=0.5)])
+        loader = ClassificationLoader(ds, input_size=32, batch_size=4,
+                                      train=train, seed=11,
+                                      augmentation=aug if train else None,
+                                      **kw)
+        try:
+            return list(loader.epoch(1))
+        finally:
+            if loader._decode_pool is not None:
+                loader._decode_pool.close()
+
+    for train in (True, False):
+        serial = batches(train)
+        assert len(serial) == (2 if train else 3)
+        for kw in (dict(num_workers=3),
+                   dict(num_workers=2, worker_backend="process:forkserver")):
+            other = batches(train, **kw)
+            assert len(other) == len(serial)
+            for x, y in zip(serial, other):
+                np.testing.assert_array_equal(x["images"], y["images"])
+                np.testing.assert_array_equal(x["labels"], y["labels"])
+                assert x["num_real"] == y["num_real"]
+    with pytest.raises(ValueError, match="worker_backend"):
+        ClassificationLoader(ds, worker_backend="process:bogus")
+
+
 def test_classification_loader_on_corrupt_skip(tmp_path):
     import cv2
 

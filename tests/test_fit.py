@@ -234,6 +234,58 @@ def test_classification_fit(tmp_path, rng):
     assert acc >= 0.9, acc
 
 
+def test_fit_threads_dropout_rng(tmp_path, rng):
+    """Dropout models (VGG, ViT) crashed in Fit training with
+    InvalidRngError: the step_fn's 4th (rng) parameter was never fed.
+    Fit now passes a deterministic (seed, global_step) key — training
+    must run, be reproducible for one seed, and differ across seeds."""
+    import cv2
+
+    from fastvision_tpu.data import ClassificationDataset
+
+    root = tmp_path / "drop"
+    for ci, name in enumerate(("a", "b")):
+        d = root / "train" / name
+        os.makedirs(d)
+        for i in range(8):
+            cv2.imwrite(str(d / f"{i}.jpg"),
+                        rng.integers(0, 40, (16, 16, 3)).astype(np.uint8)
+                        + 200 * ci)
+
+    class DropNet(nn.Module):
+        @nn.compact
+        def __call__(self, x, train=False):
+            x = nn.Dense(16)(x.reshape(x.shape[0], -1))
+            x = nn.Dropout(0.5, deterministic=not train)(x)
+            return nn.Dense(2)(x)
+
+    def run(seed):
+        model = DropNet()
+        variables = model.init(jax.random.key(0),
+                               jnp.zeros((2, 16, 16, 3)), train=False)
+
+        def apply_fn(v, images, **kw):
+            return model.apply(v, normalize_images(images), **kw)
+
+        def loss_fn(logits, batch):
+            return cross_entropy(logits, batch["labels"]), {}
+
+        tx = build_optimizer("adam", variables["params"], weight_decay=0.0)
+        loader = ClassificationLoader(
+            ClassificationDataset(str(root), "train"), input_size=16,
+            batch_size=8)
+        fit = Fit(apply_fn, loss_fn, tx, variables, loader, epochs=2,
+                  schedule=lambda s: 1e-2, seed=seed, save_every_epoch=False)
+        fit.run()  # InvalidRngError here before the fix
+        return jax.device_get(fit.state.params)
+
+    a, b, c = run(0), run(0), run(1)
+    jax.tree.map(np.testing.assert_array_equal, a, b)  # same seed == same run
+    diffs = jax.tree.leaves(jax.tree.map(
+        lambda x, y: float(np.abs(x - y).max()), a, c))
+    assert max(diffs) > 0, "different seeds must give different dropout streams"
+
+
 def test_classification_eval_ragged_last_batch(tmp_path, rng):
     """VERDICT r2 weak-2: a ragged last eval batch is padded by repeating
     samples; the accuracy denominator must count only the real ones."""
