@@ -68,19 +68,8 @@ class Fit:
         multiscale: Sequence[int] | None = None,  # per-epoch train input sizes
         preempt_signals: Sequence[int] = (),  # e.g. (signal.SIGTERM,)
     ):
+        self._seed = seed
         self.step_fn = step_fn or make_train_step(apply_fn, loss_fn, tx)
-        # thread a per-step rng into step_fns that accept one (4th param):
-        # dropout models (VGG, ViT) crash in training without it, and a
-        # deterministic (seed, global_step) stream keeps runs reproducible
-        # and resume-consistent
-        import inspect
-
-        try:
-            self._step_takes_rng = (
-                len(inspect.signature(self.step_fn).parameters) >= 4)
-        except (TypeError, ValueError):
-            self._step_takes_rng = False
-        self._rng_root = jax.random.key(seed) if self._step_takes_rng else None
         self.state = TrainState.create(variables, tx)
         self.train_loader = train_loader
         self.val_loader = val_loader
@@ -189,6 +178,31 @@ class Fit:
                 self.ema_params = place(self.ema_params, mesh)
 
     # ------------------------------------------------------------------
+    @property
+    def step_fn(self):
+        """(state, batch, lr[, rng]) -> (state, metrics).
+
+        When the callable accepts a 4th parameter it receives a
+        deterministic per-step key derived from ``seed`` (dropout models
+        — VGG, ViT — crash in training without one; the (seed,
+        global_step) stream keeps runs reproducible and resume-safe).
+        Re-assigning ``step_fn`` (e.g. wrapping it for instrumentation)
+        re-inspects the new callable's arity, so a 3-arg wrapper around a
+        4-arg step — or vice versa — is called correctly."""
+        return self._step_fn
+
+    @step_fn.setter
+    def step_fn(self, fn):
+        import inspect
+
+        self._step_fn = fn
+        try:
+            self._step_takes_rng = len(inspect.signature(fn).parameters) >= 4
+        except (TypeError, ValueError):
+            self._step_takes_rng = False
+        self._rng_root = (jax.random.key(self._seed)
+                          if self._step_takes_rng else None)
+
     def request_preempt(self) -> None:
         """Ask the harness to checkpoint and stop after the current step.
 
