@@ -286,3 +286,26 @@ def conv3d_oidhw_to_dhwio(w: np.ndarray) -> np.ndarray:
 def linear_oi_to_io(w: np.ndarray) -> np.ndarray:
     """Torch linear weight (out, in) -> (in, out)."""
     return np.transpose(w, (1, 0))
+
+
+def linear_spatial_to_io(w: np.ndarray, channels: int,
+                         spatial: tuple[int, ...]) -> np.ndarray:
+    """Torch linear weight (out, C*prod(spatial)) whose input was a
+    channels-FIRST flatten (N, C, *spatial) -> our (prod(spatial)*C, out)
+    for a channels-LAST flatten (N, *spatial, C).
+
+    Needed wherever a torch MLP consumes a flattened feature map: the VGG
+    classifier (classfication/models/vgg.py:67-69 flattens [C,7,7]; ours
+    flattens [7,7,C]), the C3D classifier (videoRecognition/models/c3d.py
+    :95-97 flattens [512,1,4,4]), and the Faster R-CNN RoI head (consumes
+    roi_align [C,7,7] crops, demos/faster_rcnn/models/fast.py:227-244).
+    A plain (out,in) transpose silently scrambles the spatial/channel
+    interleave — outputs stay *correlated* for near-spatially-constant
+    features, so only a structured-input test catches it.
+    """
+    out_dim = w.shape[0]
+    w = w.reshape((out_dim, channels) + tuple(spatial))
+    ndim = w.ndim
+    # (out, C, *S) -> (out, *S, C) -> (out, prod(S)*C) -> (in, out)
+    w = np.transpose(w, (0,) + tuple(range(2, ndim)) + (1,))
+    return np.ascontiguousarray(w.reshape(out_dim, -1).T)

@@ -71,9 +71,29 @@ def to_dict(obj: Any) -> Any:
 
 
 def from_yaml(cls, path: str, overrides: Sequence[str] = ()) -> Any:
-    """Load a dataclass config from YAML, then apply CLI overrides."""
+    """Load a dataclass config from YAML, then apply CLI overrides.
+
+    Drop-in compatible with the reference's FLAT dataset descriptors
+    (datasets/data/*.yaml: data_root/train_dir/val_dir/test_dir/
+    num_classes/categories at top level, loaded at demos/yolov3_u/
+    train.py:20): top-level keys that aren't fields of `cls` but are
+    fields of DataConfig are nested under `data`, and a flat
+    `num_classes` also seeds `model.num_classes` unless the file sets it
+    explicitly. An explicit nested `data:` section wins over flat keys.
+    """
     with open(path) as f:
         data = yaml.safe_load(f) or {}
+    cls_fields = {f.name for f in fields(cls)} if is_dataclass(cls) else set()
+    stray = {k: v for k, v in data.items() if k not in cls_fields}
+    if stray and "data" in cls_fields:
+        data_fields = {f.name for f in fields(DataConfig)}
+        if set(stray) <= data_fields:
+            data = {k: v for k, v in data.items() if k in cls_fields}
+            data["data"] = {**stray, **data.get("data", {})}
+            if "num_classes" in stray and "model" in cls_fields:
+                model = dict(data.get("model", {}))
+                model.setdefault("num_classes", stray["num_classes"])
+                data["model"] = model
     obj = update_dataclass(cls(), data)
     return apply_overrides(obj, overrides)
 

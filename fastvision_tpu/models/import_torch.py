@@ -22,7 +22,12 @@ from __future__ import annotations
 
 import numpy as np
 
-from ..core.checkpoint import conv_oihw_to_hwio, linear_oi_to_io
+from ..core.checkpoint import (
+    conv3d_oidhw_to_dhwio,
+    conv_oihw_to_hwio,
+    linear_oi_to_io,
+    linear_spatial_to_io,
+)
 
 # ---------------------------------------------------------------------------
 # shared helpers
@@ -59,10 +64,18 @@ def _conv_bias(out: dict, src: dict, torch_prefix: str, our_prefix: str):
         out["params"][f"{our_prefix}/bias"] = b
 
 
-def _linear(out: dict, src: dict, torch_prefix: str, our_prefix: str):
+def _linear(out: dict, src: dict, torch_prefix: str, our_prefix: str,
+            spatial: tuple[int, ...] | None = None, channels: int = 0):
+    """Import one torch Linear. When the torch layer consumed a flattened
+    (C, *spatial) feature map, pass `spatial`+`channels` so the kernel is
+    re-interleaved for our (*spatial, C) flatten order."""
     w = src.get(f"{torch_prefix}.weight")
     if w is not None:
-        out["params"][f"{our_prefix}/kernel"] = linear_oi_to_io(w)
+        if spatial is not None:
+            out["params"][f"{our_prefix}/kernel"] = linear_spatial_to_io(
+                w, channels, spatial)
+        else:
+            out["params"][f"{our_prefix}/kernel"] = linear_oi_to_io(w)
     b = src.get(f"{torch_prefix}.bias")
     if b is not None:
         out["params"][f"{our_prefix}/bias"] = b
@@ -132,7 +145,8 @@ def vgg_from_torchvision(
                 n += 1
             conv_idx += 1
         n += 1
-    _linear(out, s, "classifier.0", "fc1")
+    # classifier.0 consumed a CHW flatten of the 7x7x512 pooled map
+    _linear(out, s, "classifier.0", "fc1", spatial=(7, 7), channels=512)
     _linear(out, s, "classifier.3", "fc2")
     _linear(out, s, "classifier.6", "fc3")
     return out
@@ -166,6 +180,182 @@ def resnet_from_torchvision(torch_state: dict[str, np.ndarray]) -> dict[str, dic
                 )
                 _bn(out, s, f"{prefix}.downsample.1", f"{ours}/downsample/bn/bn")
             j += 1
+    _linear(out, s, "fc", "fc")
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Faster R-CNN (demos/faster_rcnn/models/{faster,rpn,fast,vgg}.py)
+# ---------------------------------------------------------------------------
+def frcnn_from_reference(torch_state: dict[str, np.ndarray]) -> dict[str, dict]:
+    """Reference Faster_Rcnn state_dict -> our FasterRCNN naming. Use with
+    `FasterRCNN(reference_compat=True)` (see its field docs for the decode/
+    clip/anchor semantics imported checkpoints assume).
+
+    Mappings:
+      - backbone.vgg{1..5}.{n} biased convs (models/vgg.py:43) -> our
+        backbone/conv{i} in order (13 convs for vgg16, last pool dropped on
+        both sides — vgg.py:65 comments it out, ours drop_last_pool);
+      - rpn.conv3x3 -> rpn/conv; rpn.regressor -> rpn/reg;
+      - rpn.classifier (2 softmax logits per anchor, rpn.py:102) -> our
+        single sigmoid objectness logit rpn/cls as (fg - bg): channel
+        2a+1 minus 2a — sigmoid(fg-bg) == softmax(fg), same scores and
+        the same top-k / NMS ordering;
+      - fast.module_after_roi.{0,3} (the shared VGG classifier MLP,
+        faster.py:80) -> head/fc{1,2}; fc1 is re-interleaved from the
+        reference's (C,7,7) RoI flatten to our (7,7,C) (fast.py:233);
+      - fast.classifier -> head/cls (class 0 = background, both sides);
+      - fast.regressor ((C+1)*4 with a background box head, fast.py:50)
+        -> head/reg (C*4): the 4 background rows are dropped.
+    """
+    out = {"params": {}, "batch_stats": {}}
+    s = torch_state
+    # backbone convs, in order (bare Conv2d at Sequential even slots)
+    conv_idx = 0
+    for stage in range(1, 6):
+        n = 0
+        while n <= 40:
+            key = f"backbone.vgg{stage}.{n}.weight"
+            if key in s and s[key].ndim == 4:
+                _conv_bias(out, s, f"backbone.vgg{stage}.{n}",
+                           f"backbone/conv{conv_idx}/conv")
+                conv_idx += 1
+            n += 1
+    # RPN
+    _conv_bias(out, s, "rpn.conv3x3", "rpn/conv")
+    _conv_bias(out, s, "rpn.regressor", "rpn/reg")
+    w2 = s["rpn.classifier.weight"]  # (2A, 512, 1, 1): [2a]=bg, [2a+1]=fg
+    b2 = s["rpn.classifier.bias"]
+    out["params"]["rpn/cls/kernel"] = conv_oihw_to_hwio(w2[1::2] - w2[0::2])
+    out["params"]["rpn/cls/bias"] = b2[1::2] - b2[0::2]
+    # Fast head (module_after_roi is the same module as backbone.classifier;
+    # both key prefixes appear in the state dict — prefer fast.*)
+    pre = ("fast.module_after_roi"
+           if "fast.module_after_roi.0.weight" in s else "backbone.classifier")
+    _linear(out, s, f"{pre}.0", "head/fc1", spatial=(7, 7), channels=512)
+    _linear(out, s, f"{pre}.3", "head/fc2")
+    _linear(out, s, "fast.classifier", "head/cls")
+    wr = s["fast.regressor.weight"]  # ((C+1)*4, 4096), class 0 = background
+    br = s["fast.regressor.bias"]
+    out["params"]["head/reg/kernel"] = linear_oi_to_io(wr[4:])
+    out["params"]["head/reg/bias"] = br[4:]
+    return out
+
+
+# ---------------------------------------------------------------------------
+# video zoo (videoRecognition/models/{c3d,scholor,slowfast}.py)
+# ---------------------------------------------------------------------------
+def _conv3d(out: dict, src: dict, torch_key: str, our_prefix: str):
+    """Plain nn.Conv3d (scholor.py's conv functions / Conv* module `.conv`)."""
+    w = src.get(f"{torch_key}.weight")
+    if w is not None:
+        out["params"][f"{our_prefix}/kernel"] = conv3d_oidhw_to_dhwio(w)
+    b = src.get(f"{torch_key}.bias")
+    if b is not None:
+        out["params"][f"{our_prefix}/bias"] = b
+
+
+def c3d_from_reference(torch_state: dict[str, np.ndarray]) -> dict[str, dict]:
+    """videoRecognition/models/c3d.py naming (layer{1..5}.{seq}.conv + optional
+    BatchNorm3d at seq+1) -> our conv{1a..5b} naming. Handles both `c3d`
+    (biased convs, no norm) and `c3d_bn` (bias folded into the imported BN
+    running mean: BN(x + b) == BN'(x) with mean' = mean - b — our Conv3DBlock
+    drops the redundant conv bias under BN). Classifier flatten order is
+    re-interleaved for our (T,H,W,C) layout (c3d.py:95-97 flattens CTHW)."""
+    out = {"params": {}, "batch_stats": {}}
+    s = torch_state
+    ours = [["conv1a"], ["conv2a"], ["conv3a", "conv3b"],
+            ["conv4a", "conv4b"], ["conv5a", "conv5b"]]
+    for li, names in enumerate(ours, start=1):
+        n = 0  # walk the Sequential: Conv3x3x3 [BN] ReLU per block
+        for name in names:
+            while f"layer{li}.{n}.conv.weight" not in s:
+                n += 1
+                assert n < 12, f"layer{li}: conv for {name} not found"
+            w = s[f"layer{li}.{n}.conv.weight"]
+            b = s.get(f"layer{li}.{n}.conv.bias")
+            out["params"][f"{name}/conv/kernel"] = conv3d_oidhw_to_dhwio(w)
+            if f"layer{li}.{n + 1}.running_mean" in s:  # c3d_bn
+                _bn(out, s, f"layer{li}.{n + 1}", f"{name}/bn")
+                if b is not None:  # fold conv bias into BN running mean
+                    out["batch_stats"][f"{name}/bn/mean"] = (
+                        out["batch_stats"][f"{name}/bn/mean"] - b)
+            elif b is not None:
+                out["params"][f"{name}/conv/bias"] = b
+            n += 1
+    # classifier: Linear(512*4*4, 4096) after gap to (1,4,4) (c3d.py:46-55)
+    _linear(out, s, "classifier.0", "fc6", spatial=(1, 4, 4), channels=512)
+    _linear(out, s, "classifier.3", "fc7")
+    _linear(out, s, "classifier.6", "fc8")
+    return out
+
+
+def _convbn3d_pair(out: dict, src: dict, conv_key: str, bn_key: str,
+                   our_prefix: str):
+    """One of our ConvBN3D blocks from a bare torch (conv, bn) pair."""
+    _conv3d(out, src, conv_key, f"{our_prefix}/conv")
+    _bn(out, src, bn_key, f"{our_prefix}/bn")
+
+
+def resnet3d_from_reference(torch_state: dict[str, np.ndarray]) -> dict[str, dict]:
+    """videoRecognition/models/scholor.py naming (stem 'conv1.0/conv1.1',
+    stages res2..res5 of Bottleneck{conv1,conv2_spatial,conv2_temporal,conv3}
+    or BasicBlock{conv1,conv2}, both with Sequential 'downsample') -> our
+    ResNet3D naming. scholor's conv helpers return bare nn.Conv3d (no `.conv`
+    nesting, scholor.py:5-9)."""
+    out = {"params": {}, "batch_stats": {}}
+    s = torch_state
+    _convbn3d_pair(out, s, "conv1.0", "conv1.1", "stem")
+    for stage in range(2, 6):
+        j = 0
+        while f"res{stage}.{j}.bn1.weight" in s:
+            t = f"res{stage}.{j}"
+            o = f"stage{stage - 1}_block{j}"
+            _convbn3d_pair(out, s, f"{t}.conv1", f"{t}.bn1", f"{o}/conv1")
+            if f"{t}.conv2_spatial.weight" in s:  # Bottleneck (scholor.py:41-46)
+                _convbn3d_pair(out, s, f"{t}.conv2_spatial", f"{t}.bn2_spatial",
+                               f"{o}/conv2_spatial")
+                _convbn3d_pair(out, s, f"{t}.conv2_temporal", f"{t}.bn2_temporal",
+                               f"{o}/conv2_temporal")
+                _convbn3d_pair(out, s, f"{t}.conv3", f"{t}.bn3", f"{o}/conv3")
+            else:  # BasicBlock
+                _convbn3d_pair(out, s, f"{t}.conv2", f"{t}.bn2", f"{o}/conv2")
+            if f"{t}.downsample.0.weight" in s:
+                _convbn3d_pair(out, s, f"{t}.downsample.0", f"{t}.downsample.1",
+                               f"{o}/downsample")
+            j += 1
+    _linear(out, s, "fc", "fc")  # global avg pool -> C only, order-free
+    return out
+
+
+def slowfast_from_reference(torch_state: dict[str, np.ndarray]) -> dict[str, dict]:
+    """videoRecognition/models/slowfast.py naming ({fast,slow}_pathway.conv1,
+    res2..res5 of its own Bottleneck {conv1,conv2,conv3} (module-wrapped
+    `.conv`, slowfast.py:12-42), laterals lateral_{pool1,res2,res3,res4}) ->
+    our SlowFast naming. The final fc consumes [fast, slow] concat
+    (slowfast.py:319) which our model matches, so it imports unpermuted."""
+    out = {"params": {}, "batch_stats": {}}
+    s = torch_state
+    for ref_path, ours in (("fast_pathway", "fast"), ("slow_pathway", "slow")):
+        _convbn3d_pair(out, s, f"{ref_path}.conv1.0", f"{ref_path}.conv1.1",
+                       f"{ours}_stem")
+        for stage in range(2, 6):
+            j = 0
+            while f"{ref_path}.res{stage}.{j}.bn1.weight" in s:
+                t = f"{ref_path}.res{stage}.{j}"
+                o = f"{ours}_s{stage - 1}_b{j}"
+                for k in (1, 2, 3):
+                    _convbn3d_pair(out, s, f"{t}.conv{k}.conv", f"{t}.bn{k}",
+                                   f"{o}/conv{k}")
+                if f"{t}.downsample.0.conv.weight" in s:
+                    _convbn3d_pair(out, s, f"{t}.downsample.0.conv",
+                                   f"{t}.downsample.1", f"{o}/downsample")
+                j += 1
+    for ref_lat, our_lat in (("lateral_pool1", "lateral_stem"),
+                             ("lateral_res2", "lateral_s1"),
+                             ("lateral_res3", "lateral_s2"),
+                             ("lateral_res4", "lateral_s3")):
+        _conv3d(out, s, f"fast_pathway.{ref_lat}.conv", f"{our_lat}/conv")
     _linear(out, s, "fc", "fc")
     return out
 
@@ -233,7 +423,7 @@ def vgg_from_reference(
                     n += 1
                 conv_idx += 1
             n += 1
-    _linear(out, torch_state, "classifier.0", "fc1")
+    _linear(out, torch_state, "classifier.0", "fc1", spatial=(7, 7), channels=512)
     _linear(out, torch_state, "classifier.3", "fc2")
     _linear(out, torch_state, "classifier.6", "fc3")
     return out

@@ -187,8 +187,12 @@ class Fit:
         — VGG, ViT — crash in training without one; the (seed,
         global_step) stream keeps runs reproducible and resume-safe).
         Re-assigning ``step_fn`` (e.g. wrapping it for instrumentation)
-        re-inspects the new callable's arity, so a 3-arg wrapper around a
-        4-arg step — or vice versa — is called correctly."""
+        re-inspects the new callable's signature. Detection counts only
+        positional parameters (a ``*args`` catch-all or a parameter named
+        ``rng`` also qualifies) — keyword-only params and ``**kwargs`` do
+        NOT make a wrapper rng-taking, so give a forwarding wrapper an
+        explicit 4-positional-arg (or ``*args``) signature if the wrapped
+        step needs its dropout key."""
         return self._step_fn
 
     @step_fn.setter
@@ -197,7 +201,14 @@ class Fit:
 
         self._step_fn = fn
         try:
-            self._step_takes_rng = len(inspect.signature(fn).parameters) >= 4
+            params = inspect.signature(fn).parameters.values()
+            positional = sum(
+                p.kind in (p.POSITIONAL_ONLY, p.POSITIONAL_OR_KEYWORD)
+                for p in params)
+            var_positional = any(p.kind == p.VAR_POSITIONAL for p in params)
+            named_rng = any(p.name == "rng" and p.kind != p.VAR_KEYWORD
+                            for p in params)
+            self._step_takes_rng = positional >= 4 or var_positional or named_rng
         except (TypeError, ValueError):
             self._step_takes_rng = False
         self._rng_root = (jax.random.key(self._seed)

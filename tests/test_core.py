@@ -75,6 +75,36 @@ def test_config_yaml_roundtrip(tmp_path):
     assert cfg.train.epochs == 3
 
 
+def test_config_accepts_reference_flat_descriptor(tmp_path):
+    """Drop-in compat: the reference's FLAT datasets/data/*.yaml schema
+    (data_root/train_dir/.../num_classes/categories at top level) loads
+    directly into Config, nesting under data and seeding model.num_classes."""
+    import os
+
+    import yaml
+
+    from fastvision_tpu.core import from_yaml
+
+    ref = "/root/reference/datasets/data/coco.yaml"
+    if os.path.exists(ref):
+        cfg = from_yaml(Config, ref)
+        assert cfg.data.num_classes == 80
+        assert cfg.model.num_classes == 80
+        assert cfg.data.categories[0] == "person"
+        assert cfg.data.train_dir == "train"
+    # synthetic flat descriptor: explicit nested sections win over flat keys
+    path = tmp_path / "flat.yaml"
+    path.write_text(yaml.safe_dump({
+        "data_root": "/tmp/x", "num_classes": 20,
+        "categories": ["a", "b"],
+        "model": {"num_classes": 21},
+    }))
+    cfg = from_yaml(Config, str(path))
+    assert cfg.data.data_root == "/tmp/x"
+    assert cfg.data.num_classes == 20
+    assert cfg.model.num_classes == 21  # explicit model section preserved
+
+
 def test_rng_discipline():
     root = set_random_seeds(0)
     k1 = step_key(root, 1, "dropout")
