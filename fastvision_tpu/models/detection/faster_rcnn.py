@@ -69,10 +69,15 @@ def make_base_anchors(
     return jnp.asarray(anchors, jnp.float32)
 
 
-def anchor_grid(feat_h: int, feat_w: int, stride: int, base: jnp.ndarray) -> jnp.ndarray:
-    """[feat_h * feat_w * A, 4] anchors in image pixels (rpn.py:160-166)."""
-    ys = (jnp.arange(feat_h, dtype=jnp.float32) + 0.5) * stride
-    xs = (jnp.arange(feat_w, dtype=jnp.float32) + 0.5) * stride
+def anchor_grid(feat_h: int, feat_w: int, stride: int, base: jnp.ndarray,
+                offset: float = 0.5) -> jnp.ndarray:
+    """[feat_h * feat_w * A, 4] anchors in image pixels (rpn.py:160-166).
+
+    `offset=0.5` centers anchors on cell centers (standard); the reference
+    centers them on integer grid corners (rpn.py:162 uses bare arange) —
+    pass offset=0.0 for reference-checkpoint compatibility."""
+    ys = (jnp.arange(feat_h, dtype=jnp.float32) + offset) * stride
+    xs = (jnp.arange(feat_w, dtype=jnp.float32) + offset) * stride
     cy, cx = jnp.meshgrid(ys, xs, indexing="ij")
     centers = jnp.stack([cx, cy, cx, cy], axis=-1)  # [H, W, 4]
     all_anchors = centers[:, :, None, :] + base[None, None, :, :]
@@ -122,16 +127,27 @@ def filter_proposals(
     post_nms_top_n: int = 300,
     nms_thresh: float = 0.7,
     min_size: float = 1.0,
+    clip_max: tuple[float, float] | None = None,
+    wh_from_dw: bool = False,
 ):
     """Fixed-size proposal selection (rpn.py:168-208 redesigned).
 
+    `clip_max`/`wh_from_dw`/`min_size<0` support reference-checkpoint
+    compatibility: the reference clips proposals to (W-1, H-1) feature
+    units (= image_size - stride pixels, rpn.py:182-185), decodes h from
+    the dw channel (rpn.py:117), and has no min-size filter.
+
     -> (proposals [B, post, 4], scores [B, post], valid [B, post])."""
-    boxes = decode_boxes(anchors[None], deltas)
-    boxes = clip_boxes(boxes, image_size, image_size)
-    wh_ok = (boxes[..., 2] - boxes[..., 0] >= min_size) & (
-        boxes[..., 3] - boxes[..., 1] >= min_size
-    )
-    scores = jnp.where(wh_ok, obj_logits, -jnp.inf)
+    boxes = decode_boxes(anchors[None], deltas, wh_from_dw=wh_from_dw)
+    cw, ch = clip_max if clip_max is not None else (image_size, image_size)
+    boxes = clip_boxes(boxes, ch, cw)
+    if min_size >= 0:
+        wh_ok = (boxes[..., 2] - boxes[..., 0] >= min_size) & (
+            boxes[..., 3] - boxes[..., 1] >= min_size
+        )
+        scores = jnp.where(wh_ok, obj_logits, -jnp.inf)
+    else:
+        scores = obj_logits
 
     def per_image(s, b):
         k = min(pre_nms_top_n, s.shape[0])
@@ -289,6 +305,13 @@ class FasterRCNN(nn.Module):
     roi_neg: int = 48
     roi_size: int = 7
     roi_backend: str = "mxu"  # 'mxu' (matmul formulation) | 'gather'
+    # Reference-checkpoint compatibility (for weights imported via
+    # models.import_torch.frcnn_from_reference): integer-grid anchor
+    # centers (rpn.py:162), proposal clip to image_size - stride
+    # (rpn.py:182-185 clips to feature W-1), no min-size filter, h decoded
+    # from the dw channel (rpn.py:117 / fast.py:99), and no final box
+    # clip. Our own training uses the fixed semantics (default False).
+    reference_compat: bool = False
     dtype: Any = jnp.float32
 
     @property
@@ -310,7 +333,9 @@ class FasterRCNN(nn.Module):
     def __call__(self, images, labels=None, train: bool = False):
         feat = self.backbone(images, train)
         b, fh, fw, _ = feat.shape
-        anchors = anchor_grid(fh, fw, self.stride, self.base_anchors)
+        compat = self.reference_compat
+        anchors = anchor_grid(fh, fw, self.stride, self.base_anchors,
+                              offset=0.0 if compat else 0.5)
         obj, deltas = self.rpn(feat)
 
         pre = self.rpn_pre_nms_train if train else self.rpn_pre_nms_eval
@@ -318,6 +343,10 @@ class FasterRCNN(nn.Module):
         proposals, prop_scores, prop_valid = filter_proposals(
             anchors, jax.lax.stop_gradient(obj), jax.lax.stop_gradient(deltas),
             self.image_size, pre, post, self.rpn_nms_thresh,
+            min_size=-1.0 if compat else 1.0,
+            clip_max=((fw - 1) * self.stride, (fh - 1) * self.stride)
+            if compat else None,
+            wh_from_dw=compat,
         )
 
         if train:
@@ -352,8 +381,10 @@ class FasterRCNN(nn.Module):
         # eval: classify + regress ALL proposals
         roi_feats = self._roi_align(feat, proposals, self.roi_size, 1.0 / self.stride)
         cls_logits, reg_pred = self.head(roi_feats, train=False)
-        boxes = decode_boxes(proposals[:, :, None, :], reg_pred, BOX_STD)
-        boxes = clip_boxes(boxes, self.image_size, self.image_size)
+        boxes = decode_boxes(proposals[:, :, None, :], reg_pred, BOX_STD,
+                             wh_from_dw=compat)
+        if not compat:  # the reference never clips final boxes (fast.py:274)
+            boxes = clip_boxes(boxes, self.image_size, self.image_size)
         return cls_logits, boxes, proposals, prop_valid
 
 
