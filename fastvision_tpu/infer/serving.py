@@ -63,10 +63,14 @@ class VisionService:
         """Compile every batch bucket BEFORE taking traffic: a bucket's
         first use otherwise compiles mid-request (tens of seconds over a
         slow link — measured as 24-30 s p99 spikes; docs/PERF.md). With a
-        persistent compile cache (cfg.compile_cache) this is a disk load."""
+        persistent compile cache (cfg.compile_cache) this is a disk load.
+        The warmed bucket list is reported by GET /healthz."""
         dummy = np.zeros((64, 64, 3), np.uint8)
-        for b in getattr(self.detector, "batch_buckets", (self.detector.batch_size,)):
+        buckets = getattr(self.detector, "batch_buckets",
+                          (self.detector.batch_size,))
+        for b in buckets:
             self.detector.predict_batch([dummy] * int(b))
+        self.warmed_buckets = sorted(int(b) for b in buckets)
 
     def predict_many(self, payloads: Sequence[bytes]) -> list[dict]:
         """One device call for several requests (micro-batching path)."""
@@ -116,6 +120,8 @@ class _MicroBatcher:
         self.adaptive = window_ms == "adaptive"
         self.window = (max_window_ms if self.adaptive else float(window_ms)) / 1000.0
         self._q: "queue.Queue" = queue.Queue()
+        self._closed = False
+        self._lock = threading.Lock()  # orders closed-check+put vs shutdown
         self._thread = threading.Thread(target=self._worker, daemon=True)
         self._thread.start()
 
@@ -123,11 +129,28 @@ class _MicroBatcher:
         import threading
 
         slot = {"event": threading.Event(), "payload": payload}
-        self._q.put(slot)
+        with self._lock:  # no slot may enqueue after the shutdown sentinel
+            if self._closed:
+                raise RuntimeError("server is shutting down")
+            self._q.put(slot)
         slot["event"].wait()
         if "error" in slot:
             raise slot["error"]
         return slot["result"]
+
+    def queue_depth(self) -> int:
+        return self._q.qsize()
+
+    def shutdown(self, timeout: float = 30.0) -> None:
+        """Graceful drain: stop accepting new requests, finish every
+        already-queued one (each blocked caller gets its real result), then
+        stop the worker. Idempotent."""
+        with self._lock:
+            if self._closed:
+                return
+            self._closed = True
+            self._q.put(None)  # sentinel wakes the worker after the backlog
+        self._thread.join(timeout)
 
     def _gather(self, slots: list) -> None:
         """Fill `slots` up to max_batch according to the window policy."""
@@ -156,8 +179,16 @@ class _MicroBatcher:
 
     def _worker(self):
         while True:
-            slots = [self._q.get()]
+            first = self._q.get()
+            if first is None:  # shutdown sentinel — backlog already drained
+                return
+            slots = [first]
             self._gather(slots)
+            if None in slots:  # sentinel swept up mid-drain: put it back
+                slots.remove(None)  # so the loop exits after this batch
+                self._q.put(None)
+                if not slots:
+                    continue
             try:
                 results = self.service.predict_many([s["payload"] for s in slots])
                 for s, r in zip(slots, results):
@@ -179,21 +210,50 @@ def serve(service: VisionService, host: str = "0.0.0.0", port: int = 8080,
     """Run the service behind a THREADED stdlib HTTP server (blocking).
 
     Concurrent POST /predict requests are micro-batched into one device
-    call; GET /health reports liveness."""
+    call; GET /healthz reports liveness, warmed batch buckets, and queue
+    depth. SIGTERM/SIGINT shut down gracefully: stop accepting, drain the
+    micro-batch queue (every in-flight request gets its result), then stop
+    — the ModelArts platform gave the reference this from the outside
+    (customize_service.py:344); a stdlib server must self-cover."""
+    import signal
+
     print("[serve] warming compiled batch buckets...")
     service.warmup()
     server = make_server(service, host, port, batch_window_ms)
+
+    def _graceful(signum, frame):
+        print(f"[serve] signal {signum}: draining micro-batch queue...")
+        server.batcher.shutdown()
+        # shutdown() must come from another thread than serve_forever's
+        import threading
+
+        threading.Thread(target=server.shutdown, daemon=True).start()
+
+    import threading
+
+    if threading.current_thread() is threading.main_thread():
+        # signal handlers are main-thread-only; embedded serve() threads
+        # (tests, notebooks) drain via server.batcher.shutdown() instead
+        signal.signal(signal.SIGTERM, _graceful)
+        signal.signal(signal.SIGINT, _graceful)
     print(f"[serve] listening on {host}:{port} "
-          f"(POST /predict, GET /health)")
+          f"(POST /predict, GET /healthz)")
     server.serve_forever()
+    print("[serve] drained; bye")
 
 
 def make_server(service: VisionService, host: str = "127.0.0.1",
-                port: int = 8080, batch_window_ms: float | str = "adaptive"):
-    """Build (but don't start) the HTTP server — separable for tests."""
+                port: int = 8080, batch_window_ms: float | str = "adaptive",
+                max_body_mb: float = 32.0):
+    """Build (but don't start) the HTTP server — separable for tests.
+
+    The returned server exposes `.batcher` (call `.shutdown()` to drain
+    gracefully). Requests larger than `max_body_mb` are rejected with 413
+    before the body is read."""
     from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
     batcher = _MicroBatcher(service, window_ms=batch_window_ms)
+    max_body = int(max_body_mb * 1024 * 1024)
 
     class Handler(BaseHTTPRequestHandler):
         def _send(self, code: int, obj: dict):
@@ -206,7 +266,11 @@ def make_server(service: VisionService, host: str = "127.0.0.1",
 
         def do_GET(self):
             if self.path.rstrip("/") in ("/health", "/healthz"):
-                self._send(200, {"status": "ok"})
+                self._send(200, {
+                    "status": "draining" if batcher._closed else "ok",
+                    "warmed_buckets": getattr(service, "warmed_buckets", []),
+                    "queue_depth": batcher.queue_depth(),
+                })
             else:
                 self.send_error(404)
 
@@ -243,16 +307,26 @@ def make_server(service: VisionService, host: str = "127.0.0.1",
                 self.send_error(404)
                 return
             length = int(self.headers.get("Content-Length", 0))
+            if length > max_body:
+                # reject BEFORE reading: a huge body must not be buffered
+                self._send(413, {"error": f"request body {length} B exceeds "
+                                          f"cap {max_body} B"})
+                self.close_connection = True
+                return
             body = self.rfile.read(length)
             try:
                 if path == "/predict_stream":
                     self._stream(body)
                 else:
                     self._send(200, batcher.predict(body))
+            except RuntimeError as e:  # shutting down — retryable elsewhere
+                self._send(503, {"error": str(e)})
             except Exception as e:  # noqa: BLE001 — serving boundary
                 self._send(400, {"error": str(e)})
 
         def log_message(self, *args):
             pass
 
-    return ThreadingHTTPServer((host, port), Handler)
+    server = ThreadingHTTPServer((host, port), Handler)
+    server.batcher = batcher
+    return server

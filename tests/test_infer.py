@@ -390,6 +390,85 @@ def test_serve_health_and_concurrency(detector, rng):
         server.shutdown()
 
 
+def test_serve_healthz_cap_and_graceful_drain(detector, rng):
+    """Round-5 serving polish: /healthz reports warmed buckets + queue
+    depth, oversized bodies are rejected with 413 BEFORE buffering, and
+    shutdown drains queued requests (in-flight callers get real results,
+    post-shutdown callers get 503)."""
+    import http.client
+    import socket
+    import time
+
+    import cv2
+
+    from fastvision_tpu.infer.serving import make_server
+
+    svc = VisionService(detector)
+    svc.warmup()
+    s = socket.socket()
+    s.bind(("127.0.0.1", 0))
+    port = s.getsockname()[1]
+    s.close()
+    server = make_server(svc, "127.0.0.1", port, batch_window_ms=30.0,
+                         max_body_mb=0.001)  # 1 KB cap for the test
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    time.sleep(0.2)
+    try:
+        c = http.client.HTTPConnection("127.0.0.1", port, timeout=30)
+        c.request("GET", "/healthz")
+        health = json.loads(c.getresponse().read())
+        assert health["status"] == "ok"
+        assert health["warmed_buckets"] == svc.warmed_buckets
+        assert health["queue_depth"] == 0
+        c.close()
+
+        # 413 before reading the body
+        c = http.client.HTTPConnection("127.0.0.1", port, timeout=30)
+        c.request("POST", "/predict", body=b"x" * 4096)
+        r = c.getresponse()
+        assert r.status == 413, r.status
+        assert "cap" in json.loads(r.read())["error"]
+        c.close()
+
+        # graceful drain: concurrent small posts + shutdown mid-flight —
+        # every caller must resolve (200 with a real result, or 503)
+        img = rng.integers(0, 255, (24, 24, 3)).astype(np.uint8)
+        buf = cv2.imencode(".jpg", img, [cv2.IMWRITE_JPEG_QUALITY, 50])[1].tobytes()
+        assert len(buf) <= 1024, len(buf)
+        results = [None] * 4
+
+        def post(i):
+            cc = http.client.HTTPConnection("127.0.0.1", port, timeout=60)
+            cc.request("POST", "/predict", body=buf)
+            rr = cc.getresponse()
+            results[i] = (rr.status, json.loads(rr.read()))
+            cc.close()
+
+        threads = [threading.Thread(target=post, args=(i,)) for i in range(4)]
+        for th in threads:
+            th.start()
+        time.sleep(0.005)
+        server.batcher.shutdown()
+        for th in threads:
+            th.join(timeout=120)
+            assert not th.is_alive()
+        assert all(r is not None and r[0] in (200, 503) for r in results), results
+        assert any(r[0] == 200 for r in results)  # the backlog WAS drained
+
+        # post-shutdown requests are refused, health reports draining
+        c = http.client.HTTPConnection("127.0.0.1", port, timeout=30)
+        c.request("POST", "/predict", body=buf)
+        assert c.getresponse().status == 503
+        c.close()
+        c = http.client.HTTPConnection("127.0.0.1", port, timeout=30)
+        c.request("GET", "/healthz")
+        assert json.loads(c.getresponse().read())["status"] == "draining"
+        c.close()
+    finally:
+        server.shutdown()
+
+
 def test_detector_multi_label_knob(rng):
     """multi_label=True uses the serving NMS (customize_service.py:453):
     low conf + per-(box,class) candidates yield >= single-label count and
