@@ -17,7 +17,11 @@ decomposition that transfers to a real TPU-VM host:
     link bandwidth, the jpeg->boxes ceiling it implies at 259,584 B/img
     (i420 @416), and how close the pipeline gets to that ceiling;
   - train_img_s: jitted train step (fwd+loss+bwd+SGD) at the reference's
-    own bs32@416 config.
+    own bs32@416 config;
+  - int8_img_s: the w8a8 PTQ path (on by default since r5; --no-int8 skips);
+  - mfu_*: model FLOP utilization from the compiler's AOT cost analysis
+    against v5e peaks (197 TFLOP/s bf16 / 394 TOP/s int8) — the
+    tunnel-independent utilization number to compare across rounds.
 
 Baseline for `vs_baseline`: the north star is >= 2x A100 img/s/chip
 (BASELINE.json). The reference publishes no inference throughput; we use an
@@ -31,6 +35,23 @@ import sys
 import time
 
 import numpy as np
+
+# v5e peak rates (per chip): 197 TFLOP/s bf16, 394 TOP/s int8
+PEAK_BF16 = 197e12
+PEAK_INT8 = 394e12
+
+
+def flops_of(jitted, *args) -> float | None:
+    """Compiler FLOP estimate of a jitted callable via AOT lowering (the
+    persistent compile cache makes the extra compile() a disk hit)."""
+    try:
+        cost = jitted.lower(*args).compile().cost_analysis()
+        if isinstance(cost, (list, tuple)):
+            cost = cost[0]
+        f = cost.get("flops")
+        return float(f) if f else None
+    except Exception:
+        return None  # backend without cost analysis — skip MFU fields
 
 
 def device_path(jax, jnp):
@@ -76,11 +97,15 @@ def device_path(jax, jnp):
     np.asarray(det.valid)
     dt = (time.perf_counter() - t0) / iters
 
+    flops = flops_of(infer, variables, images)  # per batch, bf16 program
+
     int8_ips = None
-    if "--int8" in sys.argv:
+    if "--no-int8" not in sys.argv:
         # w8a8 PTQ path (infer/quantize.py): measured 2566 img/s vs 1827
-        # bf16 on v5e (1.40x, past the bf16 forward-only ceiling). Off by
-        # default only because the extra bs256 compile adds ~10 min.
+        # bf16 on v5e (1.40x, past the bf16 forward-only ceiling). On by
+        # default since round 5: the persistent compile cache (enabled in
+        # main) amortizes its extra bs256 compile (~10 min cold) across
+        # rounds. `--no-int8` skips it.
         from fastvision_tpu.infer import quantize_model
 
         calib = jnp.asarray(rng.uniform(0, 1, (8, S, S, 3)), jnp.bfloat16)
@@ -92,7 +117,7 @@ def device_path(jax, jnp):
             det = infer(qv, images)
         np.asarray(det.valid)
         int8_ips = B / ((time.perf_counter() - t0) / iters)
-    return B / dt, int8_ips, model, variables, anchors
+    return B / dt, int8_ips, model, variables, anchors, (flops or 0) / B
 
 
 def _jpeg_fixture(n_images=256):
@@ -252,20 +277,28 @@ def train_path(jax, jnp, model, variables, anchors, B=32):
     for _ in range(iters):
         state, metrics = step(state, batch, 1e-3)
     float(metrics["loss"])
-    return B * iters / (time.perf_counter() - t0)
+    ips = B * iters / (time.perf_counter() - t0)
+    flops = flops_of(step.jitted, state, batch, 1e-3)
+    return ips, (flops or 0) / B
 
 
 def main():
     import jax
     import jax.numpy as jnp
 
-    ips, int8_ips, model, variables, anchors = device_path(jax, jnp)
+    # persistent XLA compile cache: the big bs256 programs (bf16 + int8)
+    # compile once per machine and load from disk on later runs/rounds
+    from fastvision_tpu.core.mesh import enable_compile_cache
+
+    enable_compile_cache(os.path.expanduser("~/.cache/fastvision_tpu_xla"))
+
+    ips, int8_ips, model, variables, anchors, eval_flops = device_path(jax, jnp)
     decode = decode_scaling()
     h2d = h2d_bandwidth(jax, jnp)
     e2e = jpeg_to_boxes(jax, jnp, model, variables, anchors)
     # fresh fp32-master variables for training (bench model is bf16-act)
-    train_ips = train_path(jax, jnp, model, variables, anchors)
-    train_ips128 = train_path(jax, jnp, model, variables, anchors, B=128)
+    train_ips, _ = train_path(jax, jnp, model, variables, anchors)
+    train_ips128, train_flops = train_path(jax, jnp, model, variables, anchors, B=128)
 
     # north-star decomposition (VERDICT r2 next-1): jpeg->boxes headline
     # plus the measured per-stage ceilings that bound it on THIS host —
@@ -297,6 +330,18 @@ def main():
     }
     if int8_ips is not None:
         out["int8_img_s"] = round(int8_ips, 1)
+    # MFU from the compiler's own FLOP count (AOT cost_analysis; absent on
+    # backends without it). v5e peaks: 197 TFLOP/s bf16, 394 TOP/s int8.
+    # The int8 program's arithmetic is the same conv graph, so its MFU is
+    # computed from the bf16 FLOP count against the int8 peak.
+    if eval_flops:
+        out["eval_gflops_per_img"] = round(eval_flops / 1e9, 1)
+        out["mfu_eval_bf16"] = round(ips * eval_flops / PEAK_BF16, 3)
+        if int8_ips is not None:
+            out["mfu_int8"] = round(int8_ips * eval_flops / PEAK_INT8, 3)
+    if train_flops:
+        out["train_gflops_per_img"] = round(train_flops / 1e9, 1)
+        out["mfu_train_bs128"] = round(train_ips128 * train_flops / PEAK_BF16, 3)
     print(json.dumps(out))
 
 

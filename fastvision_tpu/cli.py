@@ -72,13 +72,23 @@ def _build_detection(cfg, train: bool):
         jnp.zeros((2, cfg.data.input_size, cfg.data.input_size, 3)),
         train=True,
     )
-    if cfg.model.pretrained:
-        from .core.checkpoint import load_torch_state
-        from .models.import_torch import apply_import, yolov3_from_torch
-
-        state = load_torch_state(cfg.model.pretrained)
-        variables = apply_import(dict(variables), yolov3_from_torch(state))
+    variables = _maybe_import_pretrained(cfg, variables)
     return model, variables, anchors
+
+
+def _maybe_import_pretrained(cfg, variables):
+    """Load `model.pretrained` (a torch checkpoint in any reference naming
+    scheme — models/import_torch.py::detect_and_import routes it) into
+    freshly-initialized variables via shape-filtered partial load (the
+    reference's non-strict LoadStatedict, utils/checkpoints.py:40-53;
+    head-dropping import = mismatched shapes falling back to init)."""
+    if not cfg.model.pretrained:
+        return variables
+    from .core.checkpoint import load_torch_state
+    from .models.import_torch import apply_import, detect_and_import
+
+    state = load_torch_state(cfg.model.pretrained)
+    return apply_import(dict(variables), detect_and_import(state))
 
 
 def _preempt_signals(cfg):
@@ -254,6 +264,7 @@ def _train_faster_rcnn(cfg, args):
          "sampling": jax.random.key(1), "dropout": jax.random.key(2)},
         jnp.zeros((2, size, size, 3)), labels0, train=True,
     )
+    variables = _maybe_import_pretrained(cfg, variables)
     tx = build_optimizer(
         cfg.train.optimizer, variables["params"],
         weight_decay=cfg.train.weight_decay, momentum=cfg.train.momentum,
@@ -332,6 +343,7 @@ def cmd_train_cls(args, overrides):
     size = cfg.data.input_size
     variables = model.init(jax.random.key(cfg.train.seed),
                            jnp.zeros((2, size, size, 3)), train=True)
+    variables = _maybe_import_pretrained(cfg, variables)
 
     def apply_fn(v, images, **kw):
         return model.apply(v, normalize_images(images, model.dtype, imagenet=True), **kw)
@@ -447,6 +459,7 @@ def cmd_train_video(args, overrides):
     size, T = cfg.data.input_size, cfg.data.num_frames
     variables = model.init(jax.random.key(cfg.train.seed),
                            jnp.zeros((2, T, size, size, 3)), train=True)
+    variables = _maybe_import_pretrained(cfg, variables)
 
     def apply_fn(v, images, **kw):
         return model.apply(v, normalize_images(images, model.dtype, imagenet=True), **kw)

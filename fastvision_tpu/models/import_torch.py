@@ -363,6 +363,39 @@ def slowfast_from_reference(torch_state: dict[str, np.ndarray]) -> dict[str, dic
 # ---------------------------------------------------------------------------
 # application
 # ---------------------------------------------------------------------------
+def detect_and_import(torch_state: dict[str, np.ndarray]) -> dict[str, dict]:
+    """Route a torch state_dict to the right importer by its key scheme.
+
+    Covers every family the reference ships checkpoints for: demo YOLOv3,
+    Faster R-CNN, torchvision/reference VGG + ResNet/ResNeXt, and the video
+    zoo (C3D / 3D-ResNet / SlowFast). Raises with the observed keys when no
+    scheme matches. Used by the CLI's `model.pretrained` path so any
+    reference checkpoint imports without naming its family."""
+    s = torch_state
+    if "backbone.conv0.conv.weight" in s or "head.head_out_small.weight" in s:
+        return yolov3_from_torch(s)
+    if "rpn.conv3x3.weight" in s:
+        return frcnn_from_reference(s)
+    if "fast_pathway.conv1.0.weight" in s:
+        return slowfast_from_reference(s)
+    if "layer1.0.conv.weight" in s and s["layer1.0.conv.weight"].ndim == 5:
+        return c3d_from_reference(s)
+    if "conv1.0.weight" in s and s["conv1.0.weight"].ndim == 5:
+        return resnet3d_from_reference(s)
+    if "conv1.0.weight" in s:  # reference 2-D resnet (stem Sequential)
+        return resnet_from_reference(s)
+    if "conv1.weight" in s and "layer1.0.conv1.weight" in s:
+        return resnet_from_torchvision(s)
+    if "features.0.weight" in s:
+        return vgg_from_torchvision(s, batch_norm="features.1.running_mean" in s)
+    if "vgg1.0.weight" in s:
+        return vgg_from_reference(s, batch_norm="vgg1.1.running_mean" in s)
+    raise ValueError(
+        "unrecognized torch checkpoint naming scheme; first keys: "
+        f"{sorted(s)[:6]}"
+    )
+
+
 def apply_import(variables: dict, imported: dict[str, dict], verbose: bool = True) -> dict:
     """Merge imported flat dicts into a flax variables tree via partial_load."""
     from ..core.checkpoint import partial_load

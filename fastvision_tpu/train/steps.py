@@ -183,6 +183,9 @@ def make_train_step(
     def wrapper(state, batch, lr, rng=None):
         return jitted(state, device_batch(batch), lr, rng)
 
+    # expose the jitted callable for AOT introspection (bench.py lowers it
+    # to read the compiler's FLOP estimate for MFU accounting)
+    wrapper.jitted = jitted
     return wrapper
 
 

@@ -178,3 +178,57 @@ def test_resnet18_import_coverage():
     missing_s = [k for k in our_stats if k not in imported["batch_stats"]]
     assert not missing_p, missing_p[:8]
     assert not missing_s, missing_s[:8]
+
+
+def test_detect_and_import_routing():
+    """detect_and_import routes every reference naming scheme to the right
+    importer (keys + ranks only — numerics are covered by the per-family
+    parity tests)."""
+    from fastvision_tpu.models.import_torch import detect_and_import
+
+    import pytest as _pytest
+
+    def w(*shape):
+        return np.zeros(shape, np.float32)
+
+    cases = [
+        # (marker keys, a param path the right importer must produce)
+        ({"backbone.conv0.conv.weight": w(32, 3, 3, 3)},
+         "backbone/stem/conv/kernel"),
+        ({"rpn.conv3x3.weight": w(512, 512, 3, 3),
+          "rpn.conv3x3.bias": w(512),
+          "rpn.classifier.weight": w(18, 512, 1, 1),
+          "rpn.classifier.bias": w(18),
+          "fast.regressor.weight": w(24, 4096),
+          "fast.regressor.bias": w(24)},
+         "rpn/cls/kernel"),
+        ({"fast_pathway.conv1.0.weight": w(8, 3, 5, 7, 7),
+          "fast_pathway.conv1.1.weight": w(8)},
+         "fast_stem/conv/kernel"),
+        ({"layer1.0.conv.weight": w(64, 3, 3, 3, 3),
+          "layer2.0.conv.weight": w(128, 64, 3, 3, 3),
+          "layer3.0.conv.weight": w(256, 128, 3, 3, 3),
+          "layer3.2.conv.weight": w(256, 256, 3, 3, 3),
+          "layer4.0.conv.weight": w(512, 256, 3, 3, 3),
+          "layer4.2.conv.weight": w(512, 512, 3, 3, 3),
+          "layer5.0.conv.weight": w(512, 512, 3, 3, 3),
+          "layer5.2.conv.weight": w(512, 512, 3, 3, 3)},
+         "conv1a/conv/kernel"),
+        ({"conv1.0.weight": w(64, 3, 1, 7, 7), "conv1.1.weight": w(64)},
+         "stem/conv/kernel"),  # 5-D stem -> resnet3d
+        ({"conv1.0.weight": w(64, 3, 7, 7), "conv1.1.weight": w(64)},
+         "stem/conv/kernel"),  # 4-D stem -> reference 2-D resnet
+        ({"conv1.weight": w(64, 3, 7, 7),
+          "layer1.0.conv1.weight": w(64, 64, 1, 1)},
+         "stem/conv/kernel"),  # torchvision resnet
+        ({"features.0.weight": w(64, 3, 3, 3), "features.0.bias": w(64)},
+         "conv0/conv/kernel"),  # torchvision vgg
+        ({"vgg1.0.weight": w(64, 3, 3, 3), "vgg1.0.bias": w(64)},
+         "conv0/conv/kernel"),  # reference vgg
+    ]
+    for state, must_have in cases:
+        imported = detect_and_import(state)
+        assert must_have in imported["params"], (sorted(state)[:3], must_have)
+
+    with _pytest.raises(ValueError, match="unrecognized"):
+        detect_and_import({"mystery.weight": w(3, 3)})
