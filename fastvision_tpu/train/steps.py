@@ -70,6 +70,7 @@ def make_train_step(
     remat: bool = False,
     batch_transform: Callable | None = None,
     transform_seed: int = 0,
+    with_grad_norm: bool = True,
 ) -> Callable:
     """Build `train_step(state, batch, lr) -> (state, metrics)`.
 
@@ -173,9 +174,13 @@ def make_train_step(
         new_state = TrainState(params, new_stats, opt_state, state.step + 1)
         metrics = dict(metrics)
         metrics["loss"] = loss
-        metrics["grad_norm"] = jnp.sqrt(
-            sum(jnp.sum(g.astype(jnp.float32) ** 2) for g in jax.tree.leaves(grads))
-        )
+        if with_grad_norm:
+            # one extra read of every gradient leaf — cheap but not free;
+            # with_grad_norm=False drops it (tools/probe_train_opt.py case e)
+            metrics["grad_norm"] = jnp.sqrt(
+                sum(jnp.sum(g.astype(jnp.float32) ** 2)
+                    for g in jax.tree.leaves(grads))
+            )
         return new_state, metrics
 
     jitted = jax.jit(train_step, donate_argnums=(0,) if donate else ())

@@ -66,6 +66,35 @@ def test_train_step_reduces_loss(rng):
     assert int(state.step) == 8
 
 
+def test_with_grad_norm_knob(rng):
+    """with_grad_norm=False drops the metric (the knob exists for step
+    programs where the extra all-leaves reduction matters; on YOLOv3 it
+    measured free — tools/probe_train_opt.py case e — so default stays on)."""
+    model = resnet18(num_classes=4)
+    variables = model.init(jax.random.key(0), jnp.zeros((4, 32, 32, 3)), train=True)
+    tx = build_optimizer("sgd", variables["params"])
+
+    def loss_fn(logits, batch):
+        return cross_entropy(logits, batch["labels"]), {}
+
+    batch = {
+        "images": jnp.asarray(rng.normal(0, 1, (4, 32, 32, 3)), jnp.float32),
+        "labels": jnp.asarray(rng.integers(0, 4, 4), jnp.int32),
+    }
+    on = make_train_step(model.apply, loss_fn, tx, donate=False)
+    off = make_train_step(model.apply, loss_fn, tx, donate=False,
+                          with_grad_norm=False)
+    _, m_on = on(TrainState.create(variables, tx), batch, 1e-3)
+    st, m_off = off(TrainState.create(variables, tx), batch, 1e-3)
+    assert "grad_norm" in m_on and float(m_on["grad_norm"]) > 0
+    assert "grad_norm" not in m_off
+    # the update itself is identical either way
+    st2, _ = on(TrainState.create(variables, tx), batch, 1e-3)
+    np.testing.assert_allclose(
+        np.asarray(jax.tree.leaves(st.params)[0]),
+        np.asarray(jax.tree.leaves(st2.params)[0]), rtol=1e-6)
+
+
 def test_train_step_updates_batch_stats(rng):
     model, state, step = small_classifier_setup()
     x = jnp.asarray(rng.normal(3.0, 1.0, (8, 32, 32, 3)), jnp.float32)
