@@ -1030,6 +1030,29 @@ def cmd_doctor(args, overrides):
     line("jit_smoke_s", round(time.perf_counter() - t0, 2),
          "first compile is slow on remote backends; cached after")
 
+    # MXU headroom: achieved bf16 TFLOP/s on a chain of 4096^3 matmuls —
+    # the chip-side ceiling every model MFU (bench.py mfu_*) is judged
+    # against. All 128 iterations run inside ONE jitted fori_loop: over a
+    # remote tunnel each dispatch costs ~5 ms, which would swamp a single
+    # 0.7 ms kernel (separate-dispatch timing reads ~26 "TFLOP/s" here).
+    iters, n = 128, 4096
+
+    def _mm_chain(a):
+        # rescale each round: keeps the chain data-dependent (nothing for
+        # XLA to hoist) and the values finite in bf16
+        body = lambda _, a: (a @ a) * jnp.bfloat16(1e-4)
+        out = jax.lax.fori_loop(0, iters, body, a)
+        return out.astype(jnp.float32).sum()
+
+    mm = jax.jit(_mm_chain)
+    a = jnp.full((n, n), 0.5, jnp.bfloat16)  # device-side fill: no 32 MB H2D
+    float(mm(a))  # compile + warm
+    t0 = time.perf_counter()
+    float(mm(a))
+    tflops = iters * 2 * n**3 / (time.perf_counter() - t0) / 1e12
+    line("matmul_tflops_bf16", round(tflops, 1),
+         "v5e peak 197; mfu_* in bench.py uses the same denominator")
+
     # H2D bandwidth (8 MB uint8, best of 3) — decides whether data.i420
     # (half the bytes) matters on this host
     import numpy as np

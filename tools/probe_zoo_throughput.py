@@ -1,10 +1,16 @@
-"""Model-zoo throughput on the live chip: cls + video families."""
+"""Model-zoo throughput + MFU on the live chip: cls + video families.
+
+MFU = measured rate x compiler FLOP estimate (AOT cost_analysis) / peak.
+v5e peaks: 197 TFLOP/s bf16, 394 TOP/s int8 (int8 MFU uses the bf16
+program's FLOP count against the int8 peak — same arithmetic graph)."""
 import time
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
+PEAK_BF16 = 197e12
+PEAK_INT8 = 394e12
 rng = np.random.default_rng(0)
 
 
@@ -16,6 +22,24 @@ def timed(fn, *args, n, iters=10):
         out = fn(*args)
     np.asarray(out).ravel()[:1]
     return n * iters / (time.perf_counter() - t0)
+
+
+def flops_of(jitted, *args):
+    try:
+        cost = jitted.lower(*args).compile().cost_analysis()
+        if isinstance(cost, (list, tuple)):
+            cost = cost[0]
+        f = cost.get("flops")
+        return float(f) if f else None
+    except Exception:
+        return None
+
+
+def report(name, rate, unit, jitted, args, n, peak=PEAK_BF16):
+    flops = flops_of(jitted, *args)
+    mfu = f", MFU {100 * rate * flops / (n * peak):.0f}%" if flops else ""
+    gf = f" ({flops / n / 1e9:.1f} GF/item)" if flops else ""
+    print(f"{name}: {rate:.1f} {unit}{mfu}{gf}", flush=True)
 
 
 # ---- ResNet-50 @224 bs256 (the canonical cls benchmark) ----
@@ -33,16 +57,16 @@ def cls_fwd(v, x):
     return model.apply(v, x, train=False).astype(jnp.float32).sum()
 
 
-print(f"resnet50 bf16 fwd bs{B}@224: {timed(cls_fwd, v, x, n=B):.1f} img/s",
-      flush=True)
+report(f"resnet50 bf16 fwd bs{B}@224", timed(cls_fwd, v, x, n=B), "img/s",
+       cls_fwd, (v, x), B)
 
 from fastvision_tpu.infer import quantize_model
 
 calib = jnp.asarray(rng.uniform(0, 1, (8, 224, 224, 3)), jnp.bfloat16)
 try:
     qv = quantize_model(model, v, [calib])
-    print(f"resnet50 int8 fwd bs{B}@224: {timed(cls_fwd, qv, x, n=B):.1f} img/s",
-          flush=True)
+    report(f"resnet50 int8 fwd bs{B}@224", timed(cls_fwd, qv, x, n=B), "img/s",
+           cls_fwd, (v, x), B, peak=PEAK_INT8)
 except Exception as e:
     print(f"resnet50 int8 failed: {type(e).__name__}: {str(e)[:150]}", flush=True)
 
@@ -61,8 +85,8 @@ def sf_fwd(v, x):
     return sf.apply(v, x, train=False).astype(jnp.float32).sum()
 
 
-print(f"slowfast50 bf16 fwd bs{Bv} {T}x{Sv}: {timed(sf_fwd, vv, clips, n=Bv):.1f} clip/s",
-      flush=True)
+report(f"slowfast50 bf16 fwd bs{Bv} {T}x{Sv}", timed(sf_fwd, vv, clips, n=Bv),
+       "clip/s", sf_fwd, (vv, clips), Bv)
 
 # ---- C3D 16x112 bs32 (its canonical config) ----
 cm = c3d(num_classes=101, dtype=jnp.bfloat16)
@@ -77,5 +101,5 @@ def c3d_fwd(v, x):
     return cm.apply(v, x, train=False).astype(jnp.float32).sum()
 
 
-print(f"c3d bf16 fwd bs{Bc} 16x112: {timed(c3d_fwd, vc, cc, n=Bc):.1f} clip/s",
-      flush=True)
+report(f"c3d bf16 fwd bs{Bc} 16x112", timed(c3d_fwd, vc, cc, n=Bc),
+       "clip/s", c3d_fwd, (vc, cc), Bc)
