@@ -52,10 +52,11 @@ def test_slowfast_time_sharded_matches_unsharded(rng):
     model (GSPMD partitions the fast pathway's temporal convs with halo
     exchange; VERDICT r1 item 7)."""
     from fastvision_tpu.models.video.slowfast import SlowFast
-    from fastvision_tpu.models.video.resnet3d import SpatioTemporalBlock
 
-    kw = dict(block_cls=SpatioTemporalBlock, stage_sizes=(1, 1, 1, 1),
-              num_classes=5, alpha=4, beta_inv=4)
+    # expansion=1 keeps the reference-exact bottleneck stages tiny; the
+    # fast pathway's temporal convs are what the halo exchange partitions
+    kw = dict(stage_sizes=(1, 1, 1, 1), num_classes=5, alpha=4, beta_inv=4,
+              expansion=1)
     plain = SlowFast(**kw)
     sharded = SlowFast(**kw, time_axis="time")
 
