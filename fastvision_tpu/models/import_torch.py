@@ -374,6 +374,8 @@ def detect_and_import(torch_state: dict[str, np.ndarray]) -> dict[str, dict]:
     s = torch_state
     if "backbone.conv0.conv.weight" in s or "head.head_out_small.weight" in s:
         return yolov3_from_torch(s)
+    if "conv0.conv.weight" in s:  # reference Darknet-53 classifier
+        return darknet53_from_reference(s)
     if "rpn.conv3x3.weight" in s:
         return frcnn_from_reference(s)
     if "fast_pathway.conv1.0.weight" in s:
@@ -412,6 +414,23 @@ def apply_import(variables: dict, imported: dict[str, dict], verbose: bool = Tru
 # ---------------------------------------------------------------------------
 # the reference's OWN classification naming (classfication/models/*.py)
 # ---------------------------------------------------------------------------
+def darknet53_from_reference(torch_state: dict[str, np.ndarray]) -> dict[str, dict]:
+    """Reference Darknet classifier naming (classfication/models/
+    darknet53.py:65: conv0..conv5, res{1..5}.{j}.conv{1,2}, fc) -> our
+    Darknet53 stem/down{i}/stage{i}_block{j} naming — the backbone scheme of
+    `yolov3_from_torch` without the 'backbone.' prefix, plus the GAP+fc top."""
+    out = {"params": {}, "batch_stats": {}}
+    s = torch_state
+    _convbn(out, s, "conv0", "stem")
+    for i in range(1, 6):
+        _convbn(out, s, f"conv{i}", f"down{i}")
+        for j in range(_DARKNET_BLOCKS[i - 1]):
+            _convbn(out, s, f"res{i}.{j}.conv1", f"stage{i}_block{j}/ConvBN_0")
+            _convbn(out, s, f"res{i}.{j}.conv2", f"stage{i}_block{j}/ConvBN_1")
+    _linear(out, s, "fc", "fc")
+    return out
+
+
 def resnet_from_reference(torch_state: dict[str, np.ndarray]) -> dict[str, dict]:
     """Reference resnet naming (classfication/models/resnet.py: stem
     'conv1.0/conv1.1' Sequential, stages 'res2..res5') -> our naming, by
