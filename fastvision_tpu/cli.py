@@ -206,6 +206,7 @@ def cmd_train(args, overrides):
     fit = Fit(
         apply_fn, loss_fn, tx, variables, train_loader, val_loader,
         epochs=cfg.train.epochs, mesh=mesh, seed=cfg.train.seed,
+        fsdp=cfg.fsdp,
         schedule=warmup_cosine_lr(
             cfg.train.lr, cfg.train.final_lr,
             cfg.train.epochs * steps_per_epoch,
@@ -291,6 +292,7 @@ def _train_faster_rcnn(cfg, args):
     fit = Fit(
         None, None, tx, variables, train_loader, val_loader,
         epochs=cfg.train.epochs, mesh=mesh, seed=cfg.train.seed,
+        fsdp=cfg.fsdp,
         # step decay x0.1 every 8 epochs (demos/faster_rcnn/cfg/_fit.py:23-25)
         schedule=step_decay_lr(cfg.train.lr, 8 * steps_per_epoch),
         evaluator=detection_evaluator(
@@ -395,6 +397,7 @@ def cmd_train_cls(args, overrides):
     fit = Fit(
         apply_fn, loss_fn, tx, variables, train_loader, val_loader,
         epochs=cfg.train.epochs, mesh=mesh, seed=cfg.train.seed,
+        fsdp=cfg.fsdp,
         schedule=warmup_cosine_lr(cfg.train.lr, cfg.train.final_lr, steps,
                                   warmup_steps=cfg.train.warmup_epochs
                                   * max(len(train_loader), 1)),
@@ -489,6 +492,7 @@ def cmd_train_video(args, overrides):
     fit = Fit(
         apply_fn, loss_fn, tx, variables, train_loader, val_loader,
         epochs=cfg.train.epochs, mesh=mesh, seed=cfg.train.seed,
+        fsdp=cfg.fsdp,
         schedule=warmup_cosine_lr(cfg.train.lr, cfg.train.final_lr, steps,
                                   warmup_steps=cfg.train.warmup_epochs
                                   * max(len(train_loader), 1)),

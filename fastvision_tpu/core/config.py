@@ -220,6 +220,10 @@ class Config:
     mesh_data: int = 0
     mesh_model: int = 1
     mesh_time: int = 1
+    # fsdp=true: train commands shard params + optimizer state 1/N over
+    # the 'data' axis (ZeRO-3, parallel/fsdp.py) instead of replicating —
+    # fits models whose replicated train state exceeds one chip's HBM
+    fsdp: bool = False
     # persistent XLA compilation cache directory ('' = off). Kills the
     # 20-40s first-jit cost on restarts: serving cold-start, resumed
     # training, and every multiscale size after the first run all load

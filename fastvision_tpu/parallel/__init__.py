@@ -7,5 +7,6 @@ from .pipeline import (
     stack_stage_params,
     vit_stage_split,
 )
+from .fsdp import fsdp_shard_variables, fsdp_spec
 from .tensor_shard import shard_variables, tp_spec
 from .time_shard import halo_exchange_time, time_sharded_conv

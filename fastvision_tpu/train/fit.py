@@ -67,6 +67,7 @@ class Fit:
         ema_decay: float = 0.0,  # >0 enables EMA weights for eval/checkpoint
         multiscale: Sequence[int] | None = None,  # per-epoch train input sizes
         preempt_signals: Sequence[int] = (),  # e.g. (signal.SIGTERM,)
+        fsdp: bool = False,  # shard params/opt-state over 'data' (ZeRO-3)
     ):
         self._seed = seed
         self.step_fn = step_fn or make_train_step(apply_fn, loss_fn, tx)
@@ -160,12 +161,16 @@ class Fit:
             # placement policy: replicate params over the mesh (pure data
             # parallel) unless the mesh has a real 'model' axis — then
             # channel-shard them (parallel/tensor_shard.py) and let GSPMD
-            # propagate; opt-state moments mirror the param shapes so the
-            # same rule shards them consistently
-            from ..core.mesh import MODEL_AXIS
+            # propagate; or, with fsdp=True on a data-axis mesh, shard
+            # every leaf 1/N over 'data' (parallel/fsdp.py, ZeRO-3).
+            # Opt-state moments mirror the param shapes so the same rule
+            # shards them consistently
+            from ..core.mesh import DATA_AXIS, MODEL_AXIS
 
             if mesh.shape.get(MODEL_AXIS, 1) > 1:
                 from ..parallel.tensor_shard import shard_variables as place
+            elif fsdp and mesh.shape.get(DATA_AXIS, 1) > 1:
+                from ..parallel.fsdp import fsdp_shard_variables as place
             else:
                 place = replicate
             self.state = TrainState(
