@@ -36,22 +36,14 @@ import time
 
 import numpy as np
 
-# v5e peak rates (per chip): 197 TFLOP/s bf16, 394 TOP/s int8
-PEAK_BF16 = 197e12
-PEAK_INT8 = 394e12
-
-
-def flops_of(jitted, *args) -> float | None:
-    """Compiler FLOP estimate of a jitted callable via AOT lowering (the
-    persistent compile cache makes the extra compile() a disk hit)."""
-    try:
-        cost = jitted.lower(*args).compile().cost_analysis()
-        if isinstance(cost, (list, tuple)):
-            cost = cost[0]
-        f = cost.get("flops")
-        return float(f) if f else None
-    except Exception:
-        return None  # backend without cost analysis — skip MFU fields
+# shared MFU accounting — ONE definition of the v5e peaks and the
+# compiler-FLOP reader for bench.py / tools/probe_zoo_throughput.py /
+# doctor (core/telemetry.py): 197 TFLOP/s bf16, 394 TOP/s int8 per chip
+from fastvision_tpu.core.telemetry import (
+    V5E_PEAK_BF16 as PEAK_BF16,
+    V5E_PEAK_INT8 as PEAK_INT8,
+    flops_of,
+)
 
 
 def device_path(jax, jnp):
@@ -105,18 +97,24 @@ def device_path(jax, jnp):
         # bf16 on v5e (1.40x, past the bf16 forward-only ceiling). On by
         # default since round 5: the persistent compile cache (enabled in
         # main) amortizes its extra bs256 compile (~10 min cold) across
-        # rounds. `--no-int8` skips it.
-        from fastvision_tpu.infer import quantize_model
+        # rounds. `--no-int8` skips it. Non-fatal: an int8-lane failure
+        # (e.g. an XLA regression on s8 convs) must not take down the
+        # headline bf16 numbers, so it degrades to int8_img_s absent.
+        try:
+            from fastvision_tpu.infer import quantize_model
 
-        calib = jnp.asarray(rng.uniform(0, 1, (8, S, S, 3)), jnp.bfloat16)
-        qv = quantize_model(model, variables, [calib])
-        det = infer(qv, images)
-        np.asarray(det.valid)
-        t0 = time.perf_counter()
-        for _ in range(iters):
+            calib = jnp.asarray(rng.uniform(0, 1, (8, S, S, 3)), jnp.bfloat16)
+            qv = quantize_model(model, variables, [calib])
             det = infer(qv, images)
-        np.asarray(det.valid)
-        int8_ips = B / ((time.perf_counter() - t0) / iters)
+            np.asarray(det.valid)
+            t0 = time.perf_counter()
+            for _ in range(iters):
+                det = infer(qv, images)
+            np.asarray(det.valid)
+            int8_ips = B / ((time.perf_counter() - t0) / iters)
+        except Exception as e:  # noqa: BLE001 — bench must emit its line
+            print(f"[bench] int8 lane failed ({e!r}); continuing bf16-only",
+                  file=sys.stderr)
     return B / dt, int8_ips, model, variables, anchors, (flops or 0) / B
 
 
@@ -244,7 +242,7 @@ def jpeg_to_boxes(jax, jnp, model, variables, anchors, n_images=256,
     return best
 
 
-def train_path(jax, jnp, model, variables, anchors, B=32):
+def train_path(jax, jnp, model, variables, anchors, B=32, want_flops=False):
     """Reference train config: bs32 @416 (its published number is bs32@608
     on 2 GPUs, ~21 img/s/GPU; BASELINE.md). B=128 shows the batch-scaling
     headroom (per-image cost drops ~40% bs32->bs128, docs/PERF.md)."""
@@ -278,7 +276,9 @@ def train_path(jax, jnp, model, variables, anchors, B=32):
         state, metrics = step(state, batch, 1e-3)
     float(metrics["loss"])
     ips = B * iters / (time.perf_counter() - t0)
-    flops = flops_of(step.jitted, state, batch, 1e-3)
+    # AOT-lower only when the caller reports MFU for this batch size — the
+    # extra lowering+cache-roundtrip of the full train step isn't free
+    flops = flops_of(step.jitted, state, batch, 1e-3) if want_flops else None
     return ips, (flops or 0) / B
 
 
@@ -298,7 +298,8 @@ def main():
     e2e = jpeg_to_boxes(jax, jnp, model, variables, anchors)
     # fresh fp32-master variables for training (bench model is bf16-act)
     train_ips, _ = train_path(jax, jnp, model, variables, anchors)
-    train_ips128, train_flops = train_path(jax, jnp, model, variables, anchors, B=128)
+    train_ips128, train_flops = train_path(jax, jnp, model, variables, anchors,
+                                           B=128, want_flops=True)
 
     # north-star decomposition (VERDICT r2 next-1): jpeg->boxes headline
     # plus the measured per-stage ceilings that bound it on THIS host —

@@ -88,6 +88,11 @@ def _maybe_import_pretrained(cfg, variables):
     from .models.import_torch import apply_import, detect_and_import
 
     state = load_torch_state(cfg.model.pretrained)
+    if "rpn.conv3x3.weight" in state and not cfg.model.reference_compat:
+        print("[import] WARNING: this looks like a reference Faster_Rcnn "
+              "checkpoint but model.reference_compat is false — its weights "
+              "assume integer-grid anchors and h-from-dw decoding; set "
+              "model.reference_compat=true or boxes will be degraded")
     return apply_import(dict(variables), detect_and_import(state))
 
 
@@ -256,6 +261,7 @@ def _train_faster_rcnn(cfg, args):
     model = FasterRCNN(
         num_classes=cfg.model.num_classes, image_size=size,
         dtype=jnp.bfloat16 if cfg.train.bf16 else jnp.float32,
+        reference_compat=cfg.model.reference_compat,
         **({"anchor_scales": tuple(cfg.model.anchor_scales)}
            if cfg.model.anchor_scales else {}),
     )

@@ -90,9 +90,12 @@ def from_yaml(cls, path: str, overrides: Sequence[str] = ()) -> Any:
         if set(stray) <= data_fields:
             data = {k: v for k, v in data.items() if k in cls_fields}
             data["data"] = {**stray, **data.get("data", {})}
-            if "num_classes" in stray and "model" in cls_fields:
+            if "num_classes" in data["data"] and "model" in cls_fields:
+                # seed from the MERGED data section (an explicit nested
+                # data.num_classes beats the flat key) so the model head
+                # can't silently disagree with the pipeline's class count
                 model = dict(data.get("model", {}))
-                model.setdefault("num_classes", stray["num_classes"])
+                model.setdefault("num_classes", data["data"]["num_classes"])
                 data["model"] = model
     obj = update_dataclass(cls(), data)
     return apply_overrides(obj, overrides)
@@ -195,6 +198,11 @@ class ModelConfig:
     scale_anchors_with_input: bool = True
     # faster_rcnn: RPN anchor scales (x stride pixels); [] = model default
     anchor_scales: list = field(default_factory=list)
+    # faster_rcnn: reference-checkpoint decode/clip/anchor semantics
+    # (models/detection/faster_rcnn.py::FasterRCNN.reference_compat).
+    # Set true when model.pretrained is a reference Faster_Rcnn .pth —
+    # its weights assume integer-grid anchors and h-from-dw decoding.
+    reference_compat: bool = False
 
 
 @dataclass

@@ -87,3 +87,27 @@ def trace(log_dir: str = "/tmp/fastvision_trace"):
         yield log_dir
     finally:
         jax.profiler.stop_trace()
+
+
+# ----------------------------------------------------------------------------
+# MFU accounting (shared by bench.py, tools/probe_zoo_throughput.py, doctor)
+# ----------------------------------------------------------------------------
+# v5e peak rates per chip. mfu_* numbers everywhere in the repo use these
+# denominators; `doctor` measures the practically-achievable MXU ceiling
+# (~147 TFLOP/s bf16 = 75% of peak) to judge them against.
+V5E_PEAK_BF16 = 197e12  # FLOP/s
+V5E_PEAK_INT8 = 394e12  # OP/s
+
+
+def flops_of(jitted, *args) -> float | None:
+    """Compiler FLOP estimate of a jitted callable via AOT lowering (with a
+    persistent compile cache the extra compile() is a disk hit). Returns
+    None on backends without cost analysis."""
+    try:
+        cost = jitted.lower(*args).compile().cost_analysis()
+        if isinstance(cost, (list, tuple)):
+            cost = cost[0]
+        f = cost.get("flops")
+        return float(f) if f else None
+    except Exception:
+        return None

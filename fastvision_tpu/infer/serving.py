@@ -22,6 +22,13 @@ import numpy as np
 from .predictor import Detector
 
 
+class ServerClosing(RuntimeError):
+    """Raised to callers whose request arrived after graceful shutdown
+    began — the ONE retryable-elsewhere condition. A dedicated type so the
+    HTTP layer's 503 mapping can't swallow real runtime failures (jaxlib's
+    XlaRuntimeError subclasses RuntimeError)."""
+
+
 class VisionService:
     """preprocess -> infer -> postprocess -> JSON-able dict."""
 
@@ -131,7 +138,7 @@ class _MicroBatcher:
         slot = {"event": threading.Event(), "payload": payload}
         with self._lock:  # no slot may enqueue after the shutdown sentinel
             if self._closed:
-                raise RuntimeError("server is shutting down")
+                raise ServerClosing("server is shutting down")
             self._q.put(slot)
         slot["event"].wait()
         if "error" in slot:
@@ -141,16 +148,26 @@ class _MicroBatcher:
     def queue_depth(self) -> int:
         return self._q.qsize()
 
-    def shutdown(self, timeout: float = 30.0) -> None:
+    def shutdown(self, timeout: float = 30.0) -> bool:
         """Graceful drain: stop accepting new requests, finish every
         already-queued one (each blocked caller gets its real result), then
-        stop the worker. Idempotent."""
+        stop the worker. Idempotent.
+
+        Returns True when the backlog fully drained within `timeout`;
+        False when requests were still in flight when it expired (callers
+        still blocked then see connection resets if the process exits —
+        size `timeout` to cover queue_depth() x worst batch latency)."""
         with self._lock:
             if self._closed:
-                return
+                return not self._thread.is_alive()
             self._closed = True
             self._q.put(None)  # sentinel wakes the worker after the backlog
         self._thread.join(timeout)
+        drained = not self._thread.is_alive()
+        if not drained:
+            print(f"[serve] WARNING: drain timed out after {timeout}s with "
+                  f"~{self._q.qsize()} request(s) still queued")
+        return drained
 
     def _gather(self, slots: list) -> None:
         """Fill `slots` up to max_batch according to the window policy."""
@@ -319,7 +336,7 @@ def make_server(service: VisionService, host: str = "127.0.0.1",
                     self._stream(body)
                 else:
                     self._send(200, batcher.predict(body))
-            except RuntimeError as e:  # shutting down — retryable elsewhere
+            except ServerClosing as e:  # shutting down — retryable elsewhere
                 self._send(503, {"error": str(e)})
             except Exception as e:  # noqa: BLE001 — serving boundary
                 self._send(400, {"error": str(e)})

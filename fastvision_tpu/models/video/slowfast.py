@@ -144,10 +144,12 @@ class SlowFast(nn.Module):
                 # block only; slow pathway temporal from stage res4 (i=2) on.
                 slow = SFBottleneck(
                     s_feat, strides, temporal_conv1=(j == 0 and i >= 2),
-                    dtype=self.dtype, name=f"slow_s{i + 1}_b{j}")(slow, train)
+                    expansion=exp, dtype=self.dtype,
+                    name=f"slow_s{i + 1}_b{j}")(slow, train)
                 fast = self._time_constrain(SFBottleneck(
                     f_feat, strides, temporal_conv1=(j == 0),
-                    dtype=self.dtype, name=f"fast_s{i + 1}_b{j}")(fast, train))
+                    expansion=exp, dtype=self.dtype,
+                    name=f"fast_s{i + 1}_b{j}")(fast, train))
             if i < len(self.stage_sizes) - 1:  # laterals after stages 1-3
                 lat = Lateral(f_feat * exp * 2, self.alpha, self.dtype,
                               name=f"lateral_s{i + 1}")(fast)

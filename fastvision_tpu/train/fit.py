@@ -211,8 +211,12 @@ class Fit:
                 p.kind in (p.POSITIONAL_ONLY, p.POSITIONAL_OR_KEYWORD)
                 for p in params)
             var_positional = any(p.kind == p.VAR_POSITIONAL for p in params)
-            named_rng = any(p.name == "rng" and p.kind != p.VAR_KEYWORD
-                            for p in params)
+            # the key is passed POSITIONALLY, so only a positionally-
+            # callable 'rng' qualifies (a keyword-only one would TypeError)
+            named_rng = any(
+                p.name == "rng"
+                and p.kind in (p.POSITIONAL_ONLY, p.POSITIONAL_OR_KEYWORD)
+                for p in params)
             self._step_takes_rng = positional >= 4 or var_positional or named_rng
         except (TypeError, ValueError):
             self._step_takes_rng = False

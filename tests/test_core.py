@@ -103,6 +103,16 @@ def test_config_accepts_reference_flat_descriptor(tmp_path):
     assert cfg.data.data_root == "/tmp/x"
     assert cfg.data.num_classes == 20
     assert cfg.model.num_classes == 21  # explicit model section preserved
+    # a nested data.num_classes beats the flat key AND seeds the model head
+    # (regression: model once seeded from the stale flat value)
+    path2 = tmp_path / "flat2.yaml"
+    path2.write_text(yaml.safe_dump({
+        "data_root": "/tmp/x", "num_classes": 20,
+        "data": {"num_classes": 80},
+    }))
+    cfg2 = from_yaml(Config, str(path2))
+    assert cfg2.data.num_classes == 80
+    assert cfg2.model.num_classes == 80
 
 
 def test_rng_discipline():

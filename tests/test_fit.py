@@ -510,3 +510,30 @@ def test_request_preempt_before_first_batch(det_data, tmp_path):
     assert fit.ckpt.latest_step() == 0
     meta = fit.ckpt.restore(like={"params": fit.state.params})["meta"]
     assert meta["epoch"] == -1 and meta["global_step"] == 0
+
+
+def test_step_fn_rng_detection_kinds():
+    """The step_fn setter's rng heuristic (docstring contract): 4 positional
+    params or *args or a positionally-callable 'rng' qualify; keyword-only
+    'rng' and **kwargs do NOT (the key is passed positionally — a
+    keyword-only signature would TypeError at the first step)."""
+    fit = Fit.__new__(Fit)
+    fit._seed = 0
+
+    cases = [
+        (lambda state, batch, lr: None, False),
+        (lambda state, batch, lr, rng: None, True),
+        (lambda state, batch, lr, key: None, True),  # 4 positional, any name
+        (lambda *args, **kw: None, True),  # forwarding wrapper
+    ]
+
+    def kw_only_rng(state, batch, lr, *, rng=None):
+        return None
+
+    def kwargs_only(state, batch, lr, **kw):
+        return None
+
+    cases += [(kw_only_rng, False), (kwargs_only, False)]
+    for fn, want in cases:
+        fit.step_fn = fn
+        assert fit._step_takes_rng is want, fn

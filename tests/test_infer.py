@@ -465,6 +465,15 @@ def test_serve_healthz_cap_and_graceful_drain(detector, rng):
         c.request("GET", "/healthz")
         assert json.loads(c.getresponse().read())["status"] == "draining"
         c.close()
+
+        # the refusal is the DEDICATED ServerClosing type: a bare
+        # RuntimeError (e.g. jaxlib XlaRuntimeError) must NOT map to the
+        # retryable 503 (regression)
+        from fastvision_tpu.infer.serving import ServerClosing
+
+        with pytest.raises(ServerClosing):
+            server.batcher.predict(b"late")
+        assert server.batcher.shutdown() is True  # idempotent, drained
     finally:
         server.shutdown()
 

@@ -69,3 +69,21 @@ def test_resnet3d_jit_grad():
 
     g = jax.grad(loss)(variables["params"])
     assert np.isfinite(float(jax.tree.leaves(g)[0].sum()))
+
+
+def test_slowfast_expansion_forwarded_to_blocks():
+    """SlowFast(expansion=k) must size the bottleneck OUTPUT convs by k,
+    not silently keep SFBottleneck's default 4 (regression: the knob once
+    only resized laterals)."""
+    from fastvision_tpu.models.video.slowfast import SlowFast
+
+    model = SlowFast(stage_sizes=(1, 1, 1, 1), num_classes=3, alpha=4,
+                     beta_inv=4, expansion=1)
+    clip = jnp.zeros((1, 8, 32, 32, 3), jnp.float32)
+    variables = model.init(jax.random.key(0), clip, train=False)
+    params = variables["params"]
+    # stage-1 slow block: features=64, expansion=1 -> conv3 outputs 64
+    conv3 = params["slow_s1_b0"]["conv3"]["conv"]["kernel"]
+    assert conv3.shape[-1] == 64, conv3.shape
+    out = model.apply(variables, clip, train=False)
+    assert out.shape == (1, 3)

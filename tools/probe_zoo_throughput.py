@@ -9,8 +9,12 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-PEAK_BF16 = 197e12
-PEAK_INT8 = 394e12
+from fastvision_tpu.core.telemetry import (  # noqa: E402
+    V5E_PEAK_BF16 as PEAK_BF16,
+    V5E_PEAK_INT8 as PEAK_INT8,
+    flops_of,
+)
+
 rng = np.random.default_rng(0)
 
 
@@ -22,17 +26,6 @@ def timed(fn, *args, n, iters=10):
         out = fn(*args)
     np.asarray(out).ravel()[:1]
     return n * iters / (time.perf_counter() - t0)
-
-
-def flops_of(jitted, *args):
-    try:
-        cost = jitted.lower(*args).compile().cost_analysis()
-        if isinstance(cost, (list, tuple)):
-            cost = cost[0]
-        f = cost.get("flops")
-        return float(f) if f else None
-    except Exception:
-        return None
 
 
 def report(name, rate, unit, jitted, args, n, peak=PEAK_BF16):
