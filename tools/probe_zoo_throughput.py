@@ -67,7 +67,11 @@ except Exception as e:
 from fastvision_tpu.models.video import c3d, slowfast_resnet50
 
 sf = slowfast_resnet50(num_classes=400, alpha=4, dtype=jnp.bfloat16)
-Bv, T, Sv = 16, 16, 224
+# bs64: the fast pathway's beta/8 channel counts leave MXU lanes idle, so
+# SlowFast keeps scaling with batch long after ResNet plateaus (bs16 449 ->
+# bs64 929 clip/s, 9% -> 20% MFU; docs/PERF.md zoo table). Batch video
+# clips aggressively in deployment.
+Bv, T, Sv = 64, 16, 224
 clip0 = jnp.zeros((2, T, Sv, Sv, 3), jnp.bfloat16)
 vv = sf.init(jax.random.key(0), clip0, train=True)
 clips = jnp.asarray(rng.uniform(0, 1, (Bv, T, Sv, Sv, 3)), jnp.bfloat16)
@@ -83,7 +87,7 @@ report(f"slowfast50 bf16 fwd bs{Bv} {T}x{Sv}", timed(sf_fwd, vv, clips, n=Bv),
 
 # ---- C3D 16x112 bs32 (its canonical config) ----
 cm = c3d(num_classes=101, dtype=jnp.bfloat16)
-Bc = 32
+Bc = 128  # plateau: bs32 41% MFU -> bs128 62% (video batch-scaling rule)
 c0 = jnp.zeros((2, 16, 112, 112, 3), jnp.bfloat16)
 vc = cm.init(jax.random.key(0), c0, train=True)
 cc = jnp.asarray(rng.uniform(0, 1, (Bc, 16, 112, 112, 3)), jnp.bfloat16)
