@@ -162,10 +162,13 @@ def cmd_train(args, overrides):
     emit = "i420" if cfg.data.i420 else "rgb"
     workers = dict(num_workers=cfg.data.num_workers,
                    worker_backend=cfg.data.worker_backend)
+    # host_shard: train loaders only — the evaluators gather predictions
+    # host-side, which needs each host to hold full batches
     train_loader = DetectionLoader(
         train_ds, cfg.data.input_size, cfg.data.batch_size, cfg.data.max_boxes,
         train=True, augmentation=aug, mosaic_prob=0.5, seed=cfg.train.seed,
-        emit=emit, on_corrupt=cfg.data.on_corrupt, **workers,
+        emit=emit, on_corrupt=cfg.data.on_corrupt,
+        host_shard=cfg.data.host_shard or None, **workers,
     )
     val_loader = DetectionLoader(
         val_ds, cfg.data.input_size, cfg.data.batch_size, cfg.data.max_boxes,
@@ -174,7 +177,8 @@ def cmd_train(args, overrides):
     no_aug_loader = DetectionLoader(
         train_ds, cfg.data.input_size, cfg.data.batch_size, cfg.data.max_boxes,
         train=True, seed=cfg.train.seed, emit=emit,
-        on_corrupt=cfg.data.on_corrupt, **workers,
+        on_corrupt=cfg.data.on_corrupt,
+        host_shard=cfg.data.host_shard or None, **workers,
     )
 
     loss_obj = YOLOv3Loss(anchors, num_classes=cfg.model.num_classes,
@@ -287,6 +291,7 @@ def _train_faster_rcnn(cfg, args):
         size, cfg.data.batch_size, cfg.data.max_boxes, train=True,
         seed=cfg.train.seed, emit=emit, on_corrupt=cfg.data.on_corrupt,
         augmentation=build_augmentation(cfg.data.augment),
+        host_shard=cfg.data.host_shard or None,
         **workers,
     )
     val_loader = DetectionLoader(
@@ -392,7 +397,8 @@ def cmd_train_cls(args, overrides):
         augmentation=aug, seed=cfg.train.seed,
         on_corrupt=cfg.data.on_corrupt,
         num_workers=cfg.data.num_workers,
-        worker_backend=cfg.data.worker_backend)
+        worker_backend=cfg.data.worker_backend,
+        host_shard=cfg.data.host_shard or None)
     val_loader = ClassificationLoader(
         ClassificationDataset(cfg.data.data_root, cfg.data.val_dir,
                               cfg.data.categories or None),
@@ -487,7 +493,8 @@ def cmd_train_video(args, overrides):
         strategy=cfg.data.frame_strategy, seed=cfg.train.seed,
         num_workers=cfg.data.num_workers,
         worker_backend=cfg.data.worker_backend,
-        on_corrupt=cfg.data.on_corrupt)
+        on_corrupt=cfg.data.on_corrupt,
+        host_shard=cfg.data.host_shard or None)
     val_loader = VideoClipLoader(
         VideoFolderDataset(cfg.data.data_root, cfg.data.val_dir, cats),
         num_frames=T, size=size, batch_size=cfg.data.batch_size,

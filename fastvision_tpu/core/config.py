@@ -143,6 +143,13 @@ class DataConfig:
     # clips per video, logits averaged (train/fit.py::
     # video_multiclip_evaluator); 1 = single sampled clip
     eval_clips: int = 1
+    # multi-host input sharding for TRAIN loaders: '' = off, 'auto' =
+    # shard by (jax.process_index(), jax.process_count()) — each host
+    # decodes a disjoint 1/P of every epoch and batch_size becomes
+    # PER-HOST (global batch = batch_size x P). 'i/n' = explicit (tests /
+    # manual clusters). Val loaders stay unsharded (evaluators gather
+    # predictions host-side). data/pipeline.py::resolve_host_shard.
+    host_shard: str = ""
 
 
 @dataclass

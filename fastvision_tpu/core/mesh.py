@@ -59,13 +59,37 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
-def shard_batch(batch: Any, mesh: Mesh) -> Any:
+def shard_batch(batch: Any, mesh: Mesh, per_host: bool = False) -> Any:
     """Device-put a host pytree with its leading dim sharded over 'data'.
 
     Replaces the reference's `.cuda(non_blocking=True)` H2D transfer
     (utils/fit.py:54-55) + DataParallel scatter in one step.
+
+    Multi-host (`jax.process_count() > 1`):
+
+    - ``per_host=False`` (default): every process holds the same FULL
+      global batch; device_put places each process's addressable shards.
+    - ``per_host=True``: each process holds only its LOCAL 1/P slice of
+      the batch dim (loaders built with ``host_shard='auto'`` — each host
+      decodes a disjoint 1/P of the data); the global array is assembled
+      with `jax.make_array_from_process_local_data`. The data axis must
+      span processes in process order (what `create_mesh` builds, since
+      `jax.devices()` orders by process).
+
+    With one process the two modes are identical, so callers can pass
+    ``per_host`` unconditionally.
     """
     sharding = batch_sharding(mesh)
+    if per_host and jax.process_count() > 1:
+        pc = jax.process_count()
+
+        def put(x):
+            x = np.asarray(x)
+            return jax.make_array_from_process_local_data(
+                sharding, x, (x.shape[0] * pc, *x.shape[1:])
+            )
+
+        return jax.tree.map(put, batch)
     return jax.tree.map(lambda x: jax.device_put(x, sharding), batch)
 
 

@@ -46,8 +46,10 @@ from .mosaic import mosaic4
 from .pipeline import (
     ClassificationLoader,
     DetectionLoader,
+    host_shard_order,
     normalize_images,
     prefetch_to_device,
+    resolve_host_shard,
 )
 from .video_dataset import VIDEO_EXTS, VideoClipLoader, VideoFolderDataset
 from .video_sampler import (

@@ -90,6 +90,62 @@ def fetch_with_corrupt_policy(ds, on_corrupt: str, fn, idx: int):
     ) from last
 
 
+def resolve_host_shard(host_shard) -> tuple[int, int]:
+    """Normalize a loader ``host_shard`` spec to ``(index, count)``.
+
+    Multi-host input sharding (SURVEY.md §5 distributed comm): each host's
+    loader decodes a disjoint 1/P slice of every epoch instead of all P
+    hosts redundantly decoding the full global batch. Accepted forms:
+
+    - ``None`` / ``""``: no sharding — ``(0, 1)``;
+    - ``'auto'``: ``(jax.process_index(), jax.process_count())`` — the
+      right thing on any initialized multi-host cluster (and a no-op on a
+      single process);
+    - ``'i/n'`` string (e.g. ``'0/2'``) or ``(i, n)`` tuple: explicit —
+      for manual clusters and tests.
+    """
+    if host_shard is None or host_shard == "":
+        return 0, 1
+    if host_shard == "auto":
+        return jax.process_index(), jax.process_count()
+    if isinstance(host_shard, str):
+        try:
+            index, count = (int(p) for p in host_shard.split("/"))
+        except ValueError:
+            raise ValueError(
+                f"host_shard string must be 'auto' or 'i/n', got {host_shard!r}"
+            ) from None
+    else:
+        index, count = (int(p) for p in host_shard)
+    if count < 1 or not 0 <= index < count:
+        raise ValueError(f"host_shard index {index} not in [0, {count})")
+    return index, count
+
+
+def host_shard_order(
+    order: np.ndarray, index: int, count: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """Slice a global epoch order into this host's shard.
+
+    Returns ``(local_order, global_positions)``: disjoint equal-length
+    strided slices (the remainder ``len(order) % count`` is dropped so
+    every host yields the same number of batches — the collective-lockstep
+    requirement). ``global_positions[p]`` is local sample ``p``'s position
+    in the full single-host epoch; loaders seed the per-sample rng from it
+    ((seed, epoch, position)), so the union of all hosts' samples is
+    byte-identical to the single-host epoch."""
+    if count == 1:
+        return order, np.arange(len(order))
+    n = len(order) - len(order) % count
+    gpos = np.arange(index, n, count)
+    return order[gpos], gpos
+
+
+def _host_local_len(n: int, count: int) -> int:
+    """Per-host dataset length under host sharding (remainder dropped)."""
+    return n if count == 1 else (n - n % count) // count
+
+
 class DetectionLoader:
     """Batches of letterboxed images + padded normalized-xywh labels.
 
@@ -140,6 +196,13 @@ class DetectionLoader:
         # warning — right for long training runs where one bad file must
         # not kill days of work (the reference's torch loader crashes).
         on_corrupt: str = "raise",
+        # Multi-host input sharding: None/'' = off, 'auto' = shard the
+        # epoch by (jax.process_index(), jax.process_count()), 'i/n' or
+        # (i, n) = explicit. Each host decodes a disjoint 1/P of the data;
+        # batch_size stays PER-HOST (global batch = batch_size * P) and
+        # prefetch_to_device(per_host=True) assembles the global array
+        # (core/mesh.py::shard_batch). See resolve_host_shard.
+        host_shard=None,
     ):
         self.ds = dataset
         self.input_size = input_size
@@ -150,6 +213,7 @@ class DetectionLoader:
         self.mosaic_prob = mosaic_prob
         self.seed = seed
         self.drop_last = train if drop_last is None else drop_last
+        self.host_index, self.host_count = resolve_host_shard(host_shard)
         self.pad_value = pad_value
         if use_native:
             from .. import native
@@ -207,7 +271,7 @@ class DetectionLoader:
             self._pool = ThreadPoolExecutor(max_workers=num_workers)
 
     def __len__(self) -> int:
-        n = len(self.ds)
+        n = _host_local_len(len(self.ds), self.host_count)
         return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
 
     def _fetch(self, fn, idx: int):
@@ -323,11 +387,14 @@ class DetectionLoader:
         state["_decode_pool"] = None
         return state
 
-    def _epoch_process(self, epoch_idx: int, order: np.ndarray) -> Iterator[dict]:
+    def _epoch_process(
+        self, epoch_idx: int, order: np.ndarray, gpos: np.ndarray
+    ) -> Iterator[dict]:
         pool = self._get_decode_pool()
         nb = len(self)
         n = nb * self.batch_size if self.drop_last else len(order)
-        items = ((pos, order[pos], epoch_idx) for pos in range(min(n, len(order))))
+        items = ((int(gpos[pos]), order[pos], epoch_idx)
+                 for pos in range(min(n, len(order))))
         batch = np.empty((self.batch_size, *self._batch_shape()), np.uint8)
         labels, metas, i = [], [], 0
         for view, (padded, meta) in pool.imap(items):
@@ -361,8 +428,12 @@ class DetectionLoader:
     def epoch(self, epoch_idx: int = 0) -> Iterator[dict]:
         rng = np.random.default_rng((self.seed, epoch_idx))
         order = rng.permutation(len(self.ds)) if self.train else np.arange(len(self.ds))
+        # host sharding: same seeded global order on every host, disjoint
+        # strided slice per host; gpos keeps per-sample rng streams
+        # byte-identical to the single-host epoch
+        order, gpos = host_shard_order(order, self.host_index, self.host_count)
         if self.num_workers > 1 and self.worker_backend == "process":
-            yield from self._epoch_process(epoch_idx, order)
+            yield from self._epoch_process(epoch_idx, order, gpos)
             return
         nb = len(self)
 
@@ -391,7 +462,8 @@ class DetectionLoader:
                     "meta": metas,
                 }
                 continue
-            work = list(enumerate(idxs, start=b * self.batch_size))
+            work = [(int(gpos[p]), int(i))
+                    for p, i in enumerate(idxs, start=b * self.batch_size)]
             if self._pool is not None:
                 raws = list(self._pool.map(load, work))
             else:
@@ -459,13 +531,14 @@ class ClassificationLoader:
     def __init__(self, dataset, input_size=224, batch_size=32, train=True,
                  augmentation: Augmentation | None = None, seed=0,
                  on_corrupt: str = "raise", num_workers: int = 0,
-                 worker_backend: str = "thread"):
+                 worker_backend: str = "thread", host_shard=None):
         self.ds = dataset
         self.input_size = input_size
         self.batch_size = batch_size
         self.train = train
         self.augmentation = augmentation
         self.seed = seed
+        self.host_index, self.host_count = resolve_host_shard(host_shard)
         if on_corrupt not in ("raise", "skip"):
             raise ValueError(f"on_corrupt must be 'raise' or 'skip', got {on_corrupt!r}")
         self.on_corrupt = on_corrupt
@@ -496,7 +569,8 @@ class ClassificationLoader:
         return state
 
     def __len__(self):
-        return len(self.ds) // self.batch_size if self.train else -(-len(self.ds) // self.batch_size)
+        n = _host_local_len(len(self.ds), self.host_count)
+        return n // self.batch_size if self.train else -(-n // self.batch_size)
 
     def _sample_work(self, item):
         """Per-image host work (decode + augment + resize), runnable
@@ -512,7 +586,7 @@ class ClassificationLoader:
         img = cv2.resize(img, (self.input_size, self.input_size))
         return np.ascontiguousarray(img), lab
 
-    def _epoch_process(self, epoch_idx: int, order: np.ndarray):
+    def _epoch_process(self, epoch_idx: int, order: np.ndarray, gpos: np.ndarray):
         if self._decode_pool is None:
             import sys
 
@@ -528,7 +602,8 @@ class ClassificationLoader:
                 start_method=start,
             )
         n = (len(self) * self.batch_size if self.train else len(order))
-        items = ((pos, order[pos], epoch_idx) for pos in range(min(n, len(order))))
+        items = ((int(gpos[pos]), order[pos], epoch_idx)
+                 for pos in range(min(n, len(order))))
         batch = np.empty(
             (self.batch_size, self.input_size, self.input_size, 3), np.uint8)
         labels, i = [], 0
@@ -552,11 +627,12 @@ class ClassificationLoader:
     def epoch(self, epoch_idx: int = 0):
         rng = np.random.default_rng((self.seed, epoch_idx))
         order = rng.permutation(len(self.ds)) if self.train else np.arange(len(self.ds))
+        order, gpos = host_shard_order(order, self.host_index, self.host_count)
         if self.num_workers > 1 and self.worker_backend == "process":
-            yield from self._epoch_process(epoch_idx, order)
+            yield from self._epoch_process(epoch_idx, order, gpos)
             return
         for b in range(len(self)):
-            work = [(pos, order[pos], epoch_idx)
+            work = [(int(gpos[pos]), order[pos], epoch_idx)
                     for pos in range(b * self.batch_size,
                                      min((b + 1) * self.batch_size, len(order)))]
             if self._pool is not None:
@@ -579,6 +655,7 @@ def prefetch_to_device(
     mesh=None,
     buffer_size: int = 2,
     device_keys: tuple[str, ...] = ("images", "labels"),
+    per_host: bool = False,
 ) -> Iterator[dict]:
     """Two-stage background prefetch + device placement.
 
@@ -590,7 +667,12 @@ def prefetch_to_device(
     then sets the pipeline rate instead of decode+upload in series
     (BENCH ceiling_fraction; VERDICT r3 weak-1). Host keys (meta,
     num_real) pass through untouched. Exceptions raised in either stage
-    (decode errors, indivisible batch sizes) re-raise in the consumer."""
+    (decode errors, indivisible batch sizes) re-raise in the consumer.
+
+    `per_host=True` declares the iterator's batches host-LOCAL slices of a
+    multi-host global batch (loaders built with host_shard): shard_batch
+    assembles the global array from each process's slice. Pass
+    ``per_host=loader.host_count > 1``; single-process it is a no-op."""
     q_host: queue.Queue = queue.Queue(maxsize=buffer_size)
     q_dev: queue.Queue = queue.Queue(maxsize=buffer_size)
     sentinel = object()
@@ -615,12 +697,14 @@ def prefetch_to_device(
 
             n = mesh.shape[DATA_AXIS]
             bs = next(iter(device_part.values())).shape[0] if device_part else 0
-            if bs % n:
+            pc = jax.process_count() if per_host else 1
+            if (bs * pc) % n:
                 raise ValueError(
-                    f"batch size {bs} is not divisible by the mesh 'data' axis "
-                    f"({n} devices) — pick batch_size as a multiple of {n}"
+                    f"batch size {bs}{f' x {pc} hosts' if pc > 1 else ''} is "
+                    f"not divisible by the mesh 'data' axis ({n} devices) — "
+                    f"pick batch_size as a multiple of {max(1, n // pc)}"
                 )
-            device_part = shard_batch(device_part, mesh)
+            device_part = shard_batch(device_part, mesh, per_host=per_host)
         else:
             device_part = jax.tree.map(jnp.asarray, device_part)
         out = dict(batch)

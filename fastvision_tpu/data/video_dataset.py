@@ -140,6 +140,9 @@ class VideoClipLoader:
         # 'skip' substitutes the next clip index on decode failure (see
         # DetectionLoader.on_corrupt); 'raise' (default) fails fast
         on_corrupt: str = "raise",
+        # multi-host input sharding: None/'auto'/'i/n'/(i, n) — see
+        # data/pipeline.py::resolve_host_shard. batch_size stays per-host.
+        host_shard=None,
     ):
         self.ds = dataset
         self.num_frames = num_frames
@@ -148,6 +151,9 @@ class VideoClipLoader:
         self.strategy = strategy
         self.train = train
         self.seed = seed
+        from .pipeline import resolve_host_shard
+
+        self.host_index, self.host_count = resolve_host_shard(host_shard)
         backend, _, start = worker_backend.partition(":")
         if backend not in ("thread", "process") or (
             start and (backend != "process"
@@ -191,7 +197,7 @@ class VideoClipLoader:
             int(idx),
         )
 
-    def _epoch_process(self, epoch_idx: int, order: np.ndarray):
+    def _epoch_process(self, epoch_idx: int, order: np.ndarray, gpos: np.ndarray):
         if self._decode_pool is None:
             import sys
 
@@ -207,7 +213,8 @@ class VideoClipLoader:
                 start_method=start,
             )
         n = (len(self) * self.batch_size if self.train else len(order))
-        items = ((pos, order[pos], epoch_idx) for pos in range(min(n, len(order))))
+        items = ((int(gpos[pos]), order[pos], epoch_idx)
+                 for pos in range(min(n, len(order))))
         batch = np.empty(
             (self.batch_size, self.num_frames, self.size, self.size, 3),
             np.uint8)
@@ -231,15 +238,20 @@ class VideoClipLoader:
                    "labels": np.asarray(labels, np.int32), "num_real": real}
 
     def __len__(self) -> int:
-        n = len(self.ds)
+        from .pipeline import _host_local_len
+
+        n = _host_local_len(len(self.ds), self.host_count)
         return n // self.batch_size if self.train else -(-n // self.batch_size)
 
     def epoch(self, epoch_idx: int = 0):
+        from .pipeline import host_shard_order
+
         rng = np.random.default_rng((self.seed, epoch_idx))
         order = (rng.permutation(len(self.ds)) if self.train
                  else np.arange(len(self.ds)))
+        order, gpos = host_shard_order(order, self.host_index, self.host_count)
         if self.num_workers > 1 and self.worker_backend == "process":
-            yield from self._epoch_process(epoch_idx, order)
+            yield from self._epoch_process(epoch_idx, order, gpos)
             return
 
         def load(pos_idx):
@@ -256,7 +268,8 @@ class VideoClipLoader:
 
         for b in range(len(self)):
             idxs = order[b * self.batch_size : (b + 1) * self.batch_size]
-            work = list(enumerate(idxs, start=b * self.batch_size))
+            work = [(int(gpos[p]), int(i))
+                    for p, i in enumerate(idxs, start=b * self.batch_size)]
             if self._pool is not None:
                 outs = list(self._pool.map(load, work))
             else:

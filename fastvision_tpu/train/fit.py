@@ -243,7 +243,15 @@ class Fit:
         n_steps = 0
         t0 = time.perf_counter()
         n_images = 0
-        for batch in prefetch_to_device(loader.epoch(epoch), mesh=self.mesh):
+        # per_host: loaders built with host_shard yield host-LOCAL slices
+        # of the global batch (each host decodes 1/P of the data);
+        # shard_batch assembles the global array. Val loaders stay
+        # UNsharded — the evaluators device_get predictions, which needs
+        # fully-addressable (per-host-complete) arrays.
+        for batch in prefetch_to_device(
+            loader.epoch(epoch), mesh=self.mesh,
+            per_host=getattr(loader, "host_count", 1) > 1,
+        ):
             if self._preempt:
                 break
             lr = lr_override if lr_override is not None else self._lr()

@@ -93,7 +93,40 @@ def main() -> None:
         w2, opt_state2, loss2 = step(w2, opt_state2, x2, y2)
         losses2.append(float(loss2))
 
-    print(json.dumps({"info": info, "losses": losses, "losses_dp_tp": losses2}))
+    # ---- phase 3: host-sharded input pipeline (per-host loaders) ----
+    # The production multi-host data path: each host's loader decodes a
+    # DISJOINT 1/P slice of the epoch (host_shard='auto'), and
+    # prefetch_to_device(per_host=True) assembles the global batch via
+    # make_array_from_process_local_data. Both hosts must see the same
+    # GLOBAL batch mean (only possible if assembly + the cross-host
+    # collective work) while loading different local samples.
+    data_root = sys.argv[4]
+    from fastvision_tpu.data import (
+        ClassificationDataset,
+        ClassificationLoader,
+        host_shard_order,
+        prefetch_to_device,
+    )
+
+    ds = ClassificationDataset(data_root, "train")
+    loader = ClassificationLoader(
+        ds, input_size=8, batch_size=2, train=True, seed=0, host_shard="auto"
+    )
+    assert (loader.host_index, loader.host_count) == (pid, nproc)
+    order = np.random.default_rng((0, 0)).permutation(len(ds))
+    local_order, _ = host_shard_order(order, pid, nproc)
+
+    gmean = jax.jit(lambda v: jnp.mean(v.astype(jnp.float32)))
+    shapes, means = [], []
+    for batch in prefetch_to_device(loader.epoch(0), mesh=mesh, per_host=True):
+        shapes.append(list(batch["images"].shape))
+        means.append(float(gmean(batch["images"])))
+
+    print(json.dumps({
+        "info": info, "losses": losses, "losses_dp_tp": losses2,
+        "shard_shapes": shapes, "shard_means": means,
+        "local_order": [int(i) for i in local_order],
+    }))
 
 
 if __name__ == "__main__":

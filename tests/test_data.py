@@ -421,3 +421,136 @@ def test_classification_loader_on_corrupt_skip(tmp_path):
     with pytest.warns(UserWarning, match="corrupt"):
         batches = list(lax.epoch(0))
     assert sum(b["num_real"] for b in batches) == 6
+
+
+# ---- multi-host input sharding (data/pipeline.py::host_shard_order) ----
+
+
+def test_resolve_host_shard_forms():
+    from fastvision_tpu.data import resolve_host_shard
+
+    assert resolve_host_shard(None) == (0, 1)
+    assert resolve_host_shard("") == (0, 1)
+    # single process: auto degrades to the identity shard
+    assert resolve_host_shard("auto") == (0, 1)
+    assert resolve_host_shard("1/4") == (1, 4)
+    assert resolve_host_shard((2, 3)) == (2, 3)
+    with pytest.raises(ValueError, match="'auto' or 'i/n'"):
+        resolve_host_shard("half")
+    with pytest.raises(ValueError, match="not in"):
+        resolve_host_shard((4, 4))
+    with pytest.raises(ValueError, match="not in"):
+        resolve_host_shard("-1/2")
+
+
+def test_host_shard_order_partitions_epoch():
+    from fastvision_tpu.data import host_shard_order
+
+    order = np.random.default_rng(0).permutation(11)
+    shards = [host_shard_order(order, i, 3) for i in range(3)]
+    # equal length (remainder dropped), disjoint, union == first 9 of order
+    assert all(len(o) == 3 for o, _ in shards)
+    seen = np.concatenate([o for o, _ in shards])
+    assert len(set(seen.tolist())) == 9
+    assert set(seen.tolist()) == set(order[:9].tolist())
+    # global positions reconstruct the single-host order
+    for i, (o, gpos) in enumerate(shards):
+        np.testing.assert_array_equal(gpos, np.arange(i, 9, 3))
+        np.testing.assert_array_equal(o, order[gpos])
+    # count=1 is the identity
+    o, gpos = host_shard_order(order, 0, 1)
+    np.testing.assert_array_equal(o, order)
+    np.testing.assert_array_equal(gpos, np.arange(11))
+
+
+def test_detection_loader_host_shard_is_single_host_epoch(toy_dataset):
+    """Two host-sharded loaders' batches, interleaved by global position,
+    must be BYTE-identical to the single-host epoch (same per-sample
+    augmentation rng), with each host decoding a disjoint half."""
+    ds = DetectionDataset(toy_dataset, "train")
+    aug = Augmentation([HorizontalFlip(p=0.5), HSVJitter(p=0.5)])
+    mk = lambda shard: DetectionLoader(
+        ds, input_size=64, batch_size=2 if shard else 4, train=True,
+        augmentation=aug, seed=7, host_shard=shard)
+
+    def collect(loader):
+        bs = list(loader.epoch(2))
+        return (np.concatenate([b["images"] for b in bs]),
+                np.concatenate([b["labels"] for b in bs]))
+
+    full_im, full_lab = collect(mk(None))
+    assert len(full_im) == 8
+    for i in range(2):
+        im, lab = collect(mk((i, 2)))
+        assert len(im) == 4  # half the epoch each, len() agrees
+        assert len(mk((i, 2))) == 2
+        np.testing.assert_array_equal(im, full_im[i::2])
+        np.testing.assert_array_equal(lab, full_lab[i::2])
+
+
+def test_classification_loader_host_shard(tmp_path):
+    import cv2
+
+    from fastvision_tpu.data import ClassificationDataset, ClassificationLoader
+
+    rng = np.random.default_rng(5)
+    for name in ("a", "b"):
+        d = tmp_path / "train" / name
+        os.makedirs(d)
+        for i in range(4):
+            cv2.imwrite(str(d / f"{i}.jpg"),
+                        rng.integers(0, 255, (40, 40, 3), np.uint8))
+    ds = ClassificationDataset(str(tmp_path), "train")
+    full = ClassificationLoader(ds, input_size=32, batch_size=4, seed=3)
+    f_im = np.concatenate([b["images"] for b in full.epoch(0)])
+    f_lab = np.concatenate([b["labels"] for b in full.epoch(0)])
+    for i in range(2):
+        half = ClassificationLoader(ds, input_size=32, batch_size=2, seed=3,
+                                    host_shard=f"{i}/2")
+        assert len(half) == 2
+        im = np.concatenate([b["images"] for b in half.epoch(0)])
+        lab = np.concatenate([b["labels"] for b in half.epoch(0)])
+        np.testing.assert_array_equal(im, f_im[i::2])
+        np.testing.assert_array_equal(lab, f_lab[i::2])
+
+
+def test_video_loader_host_shard(tmp_path):
+    """VideoClipLoader shards epochs by host with identical per-position
+    clip sampling rng (frame-dir dataset keeps the fixture cheap)."""
+    import cv2
+
+    from fastvision_tpu.data import VideoClipLoader, VideoFolderDataset
+
+    rng = np.random.default_rng(9)
+    for name in ("x", "y"):
+        for v in range(3):  # 6 videos as frame dirs
+            d = tmp_path / "train" / name / f"v{v}"
+            os.makedirs(d)
+            for f in range(6):
+                cv2.imwrite(str(d / f"{f:03d}.jpg"),
+                            rng.integers(0, 255, (24, 24, 3), np.uint8))
+    ds = VideoFolderDataset(str(tmp_path), "train")
+    full = VideoClipLoader(ds, num_frames=4, size=16, batch_size=2, seed=1)
+    f_im = np.concatenate([b["images"] for b in full.epoch(0)])
+    for i in range(2):
+        half = VideoClipLoader(ds, num_frames=4, size=16, batch_size=1,
+                               seed=1, host_shard=(i, 2))
+        assert len(half) == 3
+        im = np.concatenate([b["images"] for b in half.epoch(0)])
+        np.testing.assert_array_equal(im, f_im[i::2])
+
+
+def test_shard_batch_per_host_single_process(toy_dataset, mesh):
+    """per_host=True degrades to the plain device_put path on one process
+    (so callers can pass it unconditionally)."""
+    import jax
+
+    from fastvision_tpu.core.mesh import shard_batch
+
+    x = {"images": np.arange(8 * 3, dtype=np.float32).reshape(8, 3)}
+    a = shard_batch(x, mesh, per_host=True)
+    b = shard_batch(x, mesh)
+    assert isinstance(a["images"], jax.Array)
+    assert a["images"].sharding == b["images"].sharding
+    np.testing.assert_array_equal(np.asarray(a["images"]),
+                                  np.asarray(b["images"]))

@@ -23,7 +23,20 @@ def _free_port() -> int:
     return port
 
 
-def test_two_process_data_parallel_step():
+def test_two_process_data_parallel_step(tmp_path):
+    import cv2
+    import numpy as np
+
+    # shared on-disk dataset for the host-sharded loader phase: 12 images,
+    # 2 classes — each worker decodes a disjoint half
+    rng = np.random.default_rng(0)
+    for name in ("a", "b"):
+        d = tmp_path / "train" / name
+        os.makedirs(d)
+        for i in range(6):
+            cv2.imwrite(str(d / f"{i}.jpg"),
+                        rng.integers(0, 255, (8, 8, 3), np.uint8))
+
     port = _free_port()
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     worker = os.path.join(repo, "tests", "multihost_worker.py")
@@ -31,7 +44,7 @@ def test_two_process_data_parallel_step():
     env["PYTHONPATH"] = repo
     procs = [
         subprocess.Popen(
-            [sys.executable, worker, str(i), "2", str(port)],
+            [sys.executable, worker, str(i), "2", str(port), str(tmp_path)],
             stdout=subprocess.PIPE, stderr=subprocess.PIPE, env=env, text=True,
         )
         for i in range(2)
@@ -60,3 +73,13 @@ def test_two_process_data_parallel_step():
     # model-sharded inside each host, batch sharded across hosts
     assert outs[0]["losses_dp_tp"] == outs[1]["losses_dp_tp"]
     assert outs[0]["losses_dp_tp"][0] != outs[0]["losses_dp_tp"][-1]
+    # host-sharded input pipeline: each host loaded a DISJOINT half of the
+    # epoch (local bs 2 x 2 hosts -> global batches of 4), yet both see
+    # identical GLOBAL batch means — the global array assembly + cross-host
+    # collective actually ran over per-host data
+    for o in outs:
+        assert o["shard_shapes"] == [[4, 8, 8, 3]] * 3
+    assert outs[0]["shard_means"] == outs[1]["shard_means"]
+    h0, h1 = (set(o["local_order"]) for o in outs)
+    assert len(h0) == len(h1) == 6 and not (h0 & h1)
+    assert h0 | h1 == set(range(12))
