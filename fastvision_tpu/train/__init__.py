@@ -29,6 +29,7 @@ from .fit import (
     Fit,
     classification_evaluator,
     detection_evaluator,
+    replicate_eval_outputs,
     video_multiclip_evaluator,
 )
 from .frcnn_steps import (

@@ -33,6 +33,28 @@ from .schedulers import PlateauScheduler, Schedule, constant_lr
 from .steps import TrainState, make_train_step
 
 
+def _ckpt_snapshot(tree):
+    """Host snapshot of train state for the async checkpoint.
+
+    Fully-addressable leaves (single-host, or replicated dp state) copy to
+    numpy — the donation-safe snapshot. Leaves sharded across PROCESSES
+    (FSDP over a multi-host data axis) cannot be fetched host-side; they
+    pass through as global jax.Arrays, which orbax StandardSave handles
+    natively (each host writes its own shards, and the async checkpointer
+    copies device data out before returning control, so donation by the
+    next step stays safe either way)."""
+    if tree is None:
+        return None
+
+    def snap(x):
+        if (isinstance(x, jax.Array) and not x.is_fully_addressable
+                and not x.is_fully_replicated):
+            return x  # cross-process FSDP shard: only orbax can fetch it
+        return np.asarray(x)  # local or replicated: plain host copy
+
+    return jax.tree.map(snap, tree)
+
+
 class Fit:
     def __init__(
         self,
@@ -343,11 +365,11 @@ class Fit:
         the LR schedule replays the epoch's positions)."""
         self.ckpt.save(
             epoch,
-            jax.device_get(self.state.params),
-            opt_state=jax.device_get(self.state.opt_state),
-            batch_stats=(jax.device_get(self.state.batch_stats)
+            _ckpt_snapshot(self.state.params),
+            opt_state=_ckpt_snapshot(self.state.opt_state),
+            batch_stats=(_ckpt_snapshot(self.state.batch_stats)
                          if self.state.batch_stats else None),
-            ema_params=(jax.device_get(self.ema_params)
+            ema_params=(_ckpt_snapshot(self.ema_params)
                         if self.ema_params is not None else None),
             extra={"epoch": epoch - 1, "global_step": epoch_start_step,
                    "preempted": True},
@@ -404,11 +426,11 @@ class Fit:
             if self.ckpt is not None and (self.save_every_epoch or epoch == self.epochs - 1):
                 self.ckpt.save(
                     epoch,
-                    jax.device_get(self.state.params),
-                    opt_state=jax.device_get(self.state.opt_state),
-                    batch_stats=(jax.device_get(self.state.batch_stats)
+                    _ckpt_snapshot(self.state.params),
+                    opt_state=_ckpt_snapshot(self.state.opt_state),
+                    batch_stats=(_ckpt_snapshot(self.state.batch_stats)
                                  if self.state.batch_stats else None),
-                    ema_params=(jax.device_get(self.ema_params)
+                    ema_params=(_ckpt_snapshot(self.ema_params)
                                 if self.ema_params is not None else None),
                     extra={"epoch": epoch, "global_step": self.global_step,
                            "train_loss": train_loss, **{k: float(v) for k, v in val_metrics.items()}},
@@ -420,6 +442,23 @@ class Fit:
         if self.ckpt is not None:
             self.ckpt.wait()
         return self.state
+
+
+def replicate_eval_outputs(eval_step: Callable, mesh) -> Callable:
+    """Make a jitted eval step's outputs host-fetchable in MULTI-HOST runs.
+
+    The evaluators gather predictions host-side (`jax.device_get`), which
+    requires fully-addressable arrays — but over a multi-process mesh a
+    jitted step's outputs are sharded across hosts and the fetch raises.
+    Re-jitting with replicated `out_shardings` inserts one small
+    all-gather per batch and gives every host the full result. With one
+    process (or no mesh) the step is returned unchanged, so the
+    evaluator builders call this unconditionally."""
+    if mesh is None or jax.process_count() == 1:
+        return eval_step
+    from ..core.mesh import replicated
+
+    return jax.jit(eval_step, out_shardings=replicated(mesh))
 
 
 def detection_evaluator(
@@ -435,6 +474,8 @@ def detection_evaluator(
     the mAP evaluator (ref utils/fit.py:101-103)."""
     from ..infer.postprocess import scale_coords
     from ..ops.map import MeanAveragePrecision
+
+    eval_step = replicate_eval_outputs(eval_step, mesh)
 
     def evaluate(state, loader) -> dict:
         m = MeanAveragePrecision()
@@ -470,6 +511,8 @@ def video_multiclip_evaluator(eval_step: Callable, n_clips: int = 4,
     VideoClipLoader(train=False); all (video, window) pairs stream
     through ONE compiled [bs, T, S, S, 3] program, so the cost is exactly
     n_clips x single-clip eval."""
+
+    eval_step = replicate_eval_outputs(eval_step, mesh)
 
     def evaluate(state, loader) -> dict:
         ds, T, S = loader.ds, loader.num_frames, loader.size
@@ -520,13 +563,23 @@ def video_multiclip_evaluator(eval_step: Callable, n_clips: int = 4,
 def classification_evaluator(eval_step: Callable, mesh=None) -> Callable:
     """evaluator(state, loader) -> {'accuracy'} (ref metrics/accuracy.py:3)."""
 
+    raw_step = eval_step
+
+    def step_with_labels(state, batch):
+        # labels ride through the (replicated) fetch too: the loader's
+        # labels became a mesh-sharded device array in prefetch, and a
+        # bare np.asarray on it would fail multi-host like the logits
+        return raw_step(state, batch), batch["labels"]
+
+    fetch = replicate_eval_outputs(step_with_labels, mesh)
+
     def evaluate(state, loader) -> dict:
         correct = total = 0
         for batch in prefetch_to_device(loader.epoch(0), mesh=mesh):
-            logits = jax.device_get(eval_step(state, batch))
+            logits, labels = jax.device_get(fetch(state, batch))
             n = batch.get("num_real", batch["images"].shape[0])
             pred = np.argmax(logits[:n], axis=-1)
-            labels = np.asarray(batch["labels"])[:n]
+            labels = np.asarray(labels)[:n]
             correct += int((pred == labels).sum())
             total += int(n)
         return {"accuracy": correct / max(total, 1)}

@@ -122,10 +122,56 @@ def main() -> None:
         shapes.append(list(batch["images"].shape))
         means.append(float(gmean(batch["images"])))
 
+    # ---- phase 4: evaluator over the UNsharded val loader ----
+    # Fit's documented multi-host eval contract: every host feeds the full
+    # val set (same files, same order) and computes identical metrics.
+    # classification_evaluator must (a) device_put the full global batch
+    # over the multi-process mesh and (b) fetch logits+labels host-side —
+    # which only works through replicate_eval_outputs' replicated re-jit.
+    from fastvision_tpu.train import classification_evaluator
+
+    w4 = jax.device_put(
+        np.asarray(jax.random.normal(jax.random.key(2), (3, 2)), np.float32),
+        NamedSharding(mesh, P()))
+
+    def raw_step(state, batch):
+        feats = batch["images"].astype(jnp.float32).mean(axis=(1, 2))  # [B,3]
+        return feats @ state
+
+    val_loader = ClassificationLoader(
+        ds, input_size=8, batch_size=4, train=False)
+    accuracy = classification_evaluator(jax.jit(raw_step), mesh=mesh)(
+        w4, val_loader)["accuracy"]
+
+    # ---- phase 5: multi-host SHARDED checkpoint round-trip ----
+    # FSDP leaves are sharded ACROSS PROCESSES (not fully addressable):
+    # Fit's _ckpt_snapshot passes them through as global jax.Arrays and
+    # orbax writes each host's shards; replicated leaves snapshot to
+    # numpy. Restore must reproduce the original values on every host.
+    from fastvision_tpu.core.checkpoint import CheckpointManager
+    from fastvision_tpu.parallel import fsdp_shard_variables
+    from fastvision_tpu.train.fit import _ckpt_snapshot
+
+    tree = {"dense": {"kernel": np.arange(2048, dtype=np.float32).reshape(64, 32),
+                      "bias": np.arange(32, dtype=np.float32)}}
+    sh = fsdp_shard_variables(tree, mesh)
+    assert not sh["dense"]["kernel"].is_fully_addressable  # really cross-host
+    snap = _ckpt_snapshot(sh)
+    assert isinstance(snap["dense"]["kernel"], jax.Array)  # passthrough
+    assert isinstance(snap["dense"]["bias"], np.ndarray)   # replicated -> np
+    mgr = CheckpointManager(os.path.join(data_root, "ckpt"))
+    mgr.save(0, snap)
+    mgr.wait()
+    restored = mgr.restore(0, like={"params": tree})["state"]["params"]
+    ckpt_roundtrip = bool(
+        np.array_equal(restored["dense"]["kernel"], tree["dense"]["kernel"])
+        and np.array_equal(restored["dense"]["bias"], tree["dense"]["bias"]))
+
     print(json.dumps({
         "info": info, "losses": losses, "losses_dp_tp": losses2,
         "shard_shapes": shapes, "shard_means": means,
         "local_order": [int(i) for i in local_order],
+        "eval_accuracy": accuracy, "ckpt_roundtrip": ckpt_roundtrip,
     }))
 
 

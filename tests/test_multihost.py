@@ -52,7 +52,7 @@ def test_two_process_data_parallel_step(tmp_path):
     outs = []
     for p in procs:
         try:
-            out, err = p.communicate(timeout=240)
+            out, err = p.communicate(timeout=360)
         except subprocess.TimeoutExpired:
             for q in procs:
                 q.kill()
@@ -83,3 +83,9 @@ def test_two_process_data_parallel_step(tmp_path):
     h0, h1 = (set(o["local_order"]) for o in outs)
     assert len(h0) == len(h1) == 6 and not (h0 & h1)
     assert h0 | h1 == set(range(12))
+    # evaluator over the unsharded val loader: identical metric on every
+    # host (replicate_eval_outputs makes the fetch possible at all)
+    assert outs[0]["eval_accuracy"] == outs[1]["eval_accuracy"]
+    assert 0.0 <= outs[0]["eval_accuracy"] <= 1.0
+    # cross-process-sharded (FSDP) checkpoint round-trips on both hosts
+    assert outs[0]["ckpt_roundtrip"] and outs[1]["ckpt_roundtrip"]
