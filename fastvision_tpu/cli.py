@@ -45,6 +45,21 @@ def _mesh_from_cfg(cfg):
     mesh_model>1 axis makes the train commands channel-shard parameters
     (tensor parallel, parallel/tensor_shard.py); mesh_time>1 shards the
     SlowFast fast pathway's clip-time axis (parallel/time_shard.py)."""
+    if getattr(cfg, "multihost", False):
+        # must run before the backend initializes — this is the first
+        # jax-touching call in every train command's path
+        from .core.distributed import initialize_multihost
+
+        try:
+            initialize_multihost()
+        except RuntimeError:
+            pass  # already initialized (library caller / repeated command)
+        except ValueError as e:  # no cluster to auto-detect (dev box)
+            import warnings
+
+            warnings.warn(
+                f"multihost=true but no cluster detected ({e}); "
+                "continuing single-process", stacklevel=2)
     from .core.mesh import create_mesh
 
     return create_mesh(cfg.mesh_data or None, cfg.mesh_model, cfg.mesh_time)

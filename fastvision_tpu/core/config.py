@@ -239,6 +239,11 @@ class Config:
     # the 'data' axis (ZeRO-3, parallel/fsdp.py) instead of replicating —
     # fits models whose replicated train state exceeds one chip's HBM
     fsdp: bool = False
+    # multihost=true: jax.distributed.initialize() before the mesh is
+    # built (Cloud TPU pods auto-detect the cluster; manual clusters
+    # should use the library API — examples/train_multihost.py). The mesh
+    # then spans every host's chips; combine with data.host_shard=auto.
+    multihost: bool = False
     # persistent XLA compilation cache directory ('' = off). Kills the
     # 20-40s first-jit cost on restarts: serving cold-start, resumed
     # training, and every multiscale size after the first run all load
