@@ -488,6 +488,31 @@ def test_detection_loader_host_shard_is_single_host_epoch(toy_dataset):
         np.testing.assert_array_equal(lab, full_lab[i::2])
 
 
+def test_detection_loader_host_shard_process_backend(toy_dataset):
+    """host_shard composes with the DecodePool process backend: the
+    worker items carry GLOBAL positions, so sharded process batches are
+    byte-identical to the sharded serial path."""
+    ds = DetectionDataset(toy_dataset, "train")
+    aug = Augmentation([HorizontalFlip(p=0.5), HSVJitter(p=0.5)])
+
+    def collect(**kw):
+        loader = DetectionLoader(ds, input_size=64, batch_size=2, train=True,
+                                 augmentation=aug, seed=7, host_shard=(1, 2),
+                                 **kw)
+        try:
+            bs = list(loader.epoch(2))
+            return (np.concatenate([b["images"] for b in bs]),
+                    np.concatenate([b["labels"] for b in bs]))
+        finally:
+            if loader._decode_pool is not None:
+                loader._decode_pool.close()
+
+    ser_im, ser_lab = collect()
+    pr_im, pr_lab = collect(num_workers=2, worker_backend="process:forkserver")
+    np.testing.assert_array_equal(pr_im, ser_im)
+    np.testing.assert_array_equal(pr_lab, ser_lab)
+
+
 def test_classification_loader_host_shard(tmp_path):
     import cv2
 
