@@ -457,8 +457,12 @@ def replicate_eval_outputs(eval_step: Callable, mesh) -> Callable:
     if mesh is None or jax.process_count() == 1:
         return eval_step
     from ..core.mesh import replicated
+    from .steps import device_batch
 
-    return jax.jit(eval_step, out_shardings=replicated(mesh))
+    jitted = jax.jit(eval_step, out_shardings=replicated(mesh))
+    # detection batches carry host-only keys (meta: strings/tuples) that
+    # jit rejects as input leaves — filter like make_eval_step does
+    return lambda state, batch: jitted(state, device_batch(batch))
 
 
 def detection_evaluator(
